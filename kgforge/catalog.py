@@ -1,0 +1,57 @@
+"""Table catalog abstraction: Iceberg when the runtime has it, partitioned
+Parquet with the identical layout otherwise (SURVEY.md §7.2 hard-part (d) —
+never ``format("iceberg")`` inline in stage code).
+
+The sandbox's PySpark ships no Iceberg jar, so the default is parquet; on a
+real cluster set ``KGFORGE_TABLE_FORMAT=iceberg`` and provide the catalog
+via standard Spark Iceberg configs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_format() -> str:
+    return os.environ.get("KGFORGE_TABLE_FORMAT", "parquet")
+
+
+def _iceberg() -> bool:
+    return table_format() == "iceberg"
+
+
+def write_table(df: DataFrame, location: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Write a stage table. ``location`` is a path (parquet) or a catalog
+    table name (iceberg)."""
+    if _iceberg():
+        w = df.writeTo(location)
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(location)
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    if _iceberg():
+        return spark.read.table(location)
+    return spark.read.parquet(location)
+
+
+def table_exists(spark: SparkSession, location: str) -> bool:
+    if _iceberg():
+        return spark.catalog.tableExists(location)
+    # parquet: a successful write leaves a _SUCCESS marker.
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(location + "/_SUCCESS")
+    fs = p.getFileSystem(conf)
+    return bool(fs.exists(p))

@@ -1,0 +1,62 @@
+"""SparkSession builder with the AQE / Arrow / skew configuration the
+pipeline assumes (SURVEY.md §4: AQE subsumes all of the reference's manual
+chunking tactics, /root/reference/search/bert_search.py:55-66,96-97).
+
+All knobs here are plain public Spark configs; nothing machine-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from . import constants
+
+
+def build_session(
+    app_name: str = "kgforge",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]) in this
+    sandbox; on a real cluster it is supplied by spark-submit and must be
+    left None.
+    """
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+
+    sp = shuffle_partitions if shuffle_partitions is not None else constants.SHUFFLE_PARTITIONS
+    conf = {
+        # AQE: runtime re-plan, partition coalescing, skew-join splitting —
+        # explicit per north_rule ("AQE skew-join splitting on the
+        # link-score self-join").
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow for every pandas UDF / toPandas boundary; batch size is the
+        # analog of the reference's encode batch_size
+        # (/root/reference/search/bert_search.py:124).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        "spark.sql.shuffle.partitions": str(sp),
+        # 100 TB posture: size split units so scan tasks stay balanced.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Quieter local runs.
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,111 @@
+"""Stage 4 — canonicalization: candidate_links -> entities (connected
+components via alternating large-star/small-star, Kiveris et al.,
+"Connected Components in MapReduce and Beyond").
+
+The reference only canonicalizes pairwise (swap so c1 >= c2,
+/root/reference/experiments/uaz_documents_comparison.py:237-238) and builds
+a driver-side adjacency matrix (/root/reference/data/wm_ontology.py:40-71);
+transitive canonicalization over a distributed edge set is the genuinely
+new strategy SURVEY.md §4 N4 calls for.
+
+Scale notes:
+- O(log n) rounds; every round is two groupBy-join passes over the edge
+  set — pure DataFrame ops, AQE-skew-safe.
+- ``localCheckpoint`` each round truncates lineage (SURVEY.md §7.2(b));
+  convergence is detected by an order-insensitive edge-set fingerprint
+  (count + sum of xxhash64), one tiny aggregate per round.
+- Node ids are strings; min == lexicographic min, deterministic across
+  partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dedup(edges: DataFrame) -> DataFrame:
+    return edges.where(F.col("src") != F.col("dst")).distinct()
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect strictly-larger neighbors to
+    min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .withColumn("m", F.least(F.col("_mn"), F.col("src")))
+        .select("src", "m")
+    )
+    out = (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return _dedup(out)
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect all smaller-or-equal neighbors (and u) to
+    the minimum of that set."""
+    orient = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = orient.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        orient.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+    )
+    return _dedup(out)
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(links: DataFrame, max_iter: int = 20) -> DataFrame:
+    """CANDIDATE_LINKS(a, b, ...) -> ENTITIES(entity_id, canonical_id).
+
+    Nodes that never appear in a link are their own canonical entity and
+    are NOT emitted here; consumers use ``canonicalize`` (left join +
+    coalesce) so the mapping table stays proportional to the linked
+    subgraph, not the full entity universe — that is what makes the
+    canonical dictionary broadcast-able (north_rule).
+    """
+    edges = links.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = _dedup(edges).localCheckpoint()
+    prev = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # Converged edge set is a star forest pointing at component minima.
+    orient = edges.select(
+        F.greatest("src", "dst").alias("entity_id"), F.least("src", "dst").alias("canonical_id")
+    )
+    return orient.groupBy("entity_id").agg(F.min("canonical_id").alias("canonical_id"))
+
+
+def canonicalize(df: DataFrame, mapping: DataFrame, col: str, broadcast: bool = True) -> DataFrame:
+    """Replace ``col`` with its canonical id (identity when unmapped).
+
+    The mapping is broadcast when it fits (north_rule: "broadcast of the
+    canonical-entity dictionary when it fits") — pass broadcast=False to
+    fall back to a shuffled join for huge dictionaries.
+    """
+    m = mapping.withColumnRenamed("entity_id", col)
+    if broadcast:
+        m = F.broadcast(m)
+    return (
+        df.join(m, col, "left")
+        .withColumn(col, F.coalesce(F.col("canonical_id"), F.col(col)))
+        .drop("canonical_id")
+    )

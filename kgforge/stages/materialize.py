@@ -1,0 +1,109 @@
+"""Stage 5 — graph materialization: mentions + canonical map -> triples,
+plus per-partition lineage/metrics rows.
+
+Output is the canonical (subj, pred, obj, evidence, score) edge table —
+the analog of the reference's ranked-links CSV
+(/root/reference/experiments/uaz_documents_comparison.py:181-192) with the
+evidence-set squash of :380-389 expressed as a groupBy.
+
+Scale notes:
+- One groupBy(subj, pred, obj) shuffle; evidence squash keeps min (stable
+  representative) instead of collect_set to bound row width at 10^12 scale.
+- The canonical-map join is broadcast (see canonical.canonicalize).
+- Output is partitioned by pred — partition pruning for per-predicate
+  consumers (SURVEY.md §4 N5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import constants
+from .canonical import canonicalize
+
+_KIND_PRED = {
+    "import": constants.PRED_IMPORTS,
+    "class": constants.PRED_DEFINES,
+    "function": constants.PRED_DEFINES,
+    "call": constants.PRED_CALLS,
+}
+_KIND_ETYPE = {"import": "module", "class": "class", "function": "function", "call": "function"}
+
+
+def triples_from_mentions(
+    mentions: DataFrame, mapping: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
+    """MENTIONS + ENTITIES -> TRIPLES.
+
+    subj = '<repo>:<path>' (the file node), obj = canonicalized typed
+    entity id, evidence = '<repo>:<path>:<line>', score = 1.0 for lexical
+    triples.  same_as triples come straight from the mapping.
+    """
+    pred_map = F.create_map(*[F.lit(x) for kv in _KIND_PRED.items() for x in kv])
+    etype_map = F.create_map(*[F.lit(x) for kv in _KIND_ETYPE.items() for x in kv])
+
+    m = mentions.where(F.col("kind") != "module")
+    lexical = m.select(
+        F.concat_ws(":", "repo", "path").alias("subj"),
+        pred_map[F.col("kind")].alias("pred"),
+        F.concat_ws(":", etype_map[F.col("kind")], F.col("name")).alias("obj"),
+        F.concat_ws(":", "repo", "path", F.col("line").cast("string")).alias("evidence"),
+        F.lit(1.0).alias("score"),
+    )
+    lexical = canonicalize(lexical, mapping, "obj", broadcast=broadcast_map)
+
+    same_as = mapping.select(
+        F.col("entity_id").alias("subj"),
+        F.lit(constants.PRED_SAME_AS).alias("pred"),
+        F.col("canonical_id").alias("obj"),
+        F.lit("canonicalization").alias("evidence"),
+        F.lit(1.0).alias("score"),
+    )
+
+    return (
+        lexical.unionByName(same_as)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("evidence").alias("evidence"), F.max("score").alias("score"))
+    )
+
+
+def stage_metrics(
+    stage: str,
+    rows_in: DataFrame,
+    rows_out: DataFrame,
+    wall_ms: int,
+    partition_col: str = "repo",
+) -> DataFrame:
+    """Per-partition lineage rows (north_rule).  ``content_sha_ok`` verifies
+    the input_hint invariant: every (repo, path, commit) in the output
+    carries the same content_sha256 as the source table."""
+    in_counts = rows_in.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows_in"))
+    out_counts = rows_out.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows_out"))
+
+    if "content_sha256" in rows_out.columns and "content_sha256" in rows_in.columns:
+        src = rows_in.select(partition_col, "path", "commit", "content_sha256").distinct()
+        got = rows_out.select(partition_col, "path", "commit", "content_sha256").distinct()
+        bad = (
+            got.join(src, ["repo", "path", "commit", "content_sha256"], "left_anti")
+            .groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("_bad"))
+        )
+        ok = in_counts.join(bad, partition_col, "left").withColumn(
+            "content_sha_ok", F.coalesce(F.col("_bad"), F.lit(0)) == 0
+        ).select(partition_col, "content_sha_ok")
+    else:
+        ok = in_counts.select(partition_col, F.lit(True).alias("content_sha_ok"))
+
+    return (
+        in_counts.join(out_counts, partition_col, "full")
+        .join(ok, partition_col, "left")
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col(partition_col).cast("string").alias("partition_key"),
+            F.coalesce("rows_in", F.lit(0)).alias("rows_in"),
+            F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
+            F.coalesce("content_sha_ok", F.lit(True)).alias("content_sha_ok"),
+            F.lit(int(wall_ms)).alias("wall_ms"),
+        )
+    )

@@ -1,0 +1,151 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates ``files(repo, path, commit, lang, content)`` rows where every
+file's modules/classes/functions/imports/calls come from seeded pools, so
+expected triples are computable by construction and the pandas twin can
+re-derive them.  Row ``i`` is a pure function of ``(i, seed)`` — generation
+is embarrassingly parallel and runs distributed via mapInPandas over
+``spark.range`` (no driver-side materialization at scale).
+
+Skew is built in per FIXTURES.md: one mega-repo holds ~30% of files and
+python dominates, to exercise salting + AQE skew handling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from . import constants
+
+N_REPOS = 20
+MEGA_REPO_SHARE = 0.30
+PY_SHARE = 0.80
+
+# Entity-name pools.  Variant clusters exercise embedding-based linking:
+# names within a cluster are near-identical strings (cosine of their
+# char-trigram embeddings is high), names across clusters are not.
+_BASE_FUNCS = [
+    "load_data", "parse_config", "build_index", "run_query", "merge_results",
+    "write_output", "fetch_remote", "score_pairs", "rank_items", "chunk_text",
+    "embed_batch", "hash_content", "filter_rows", "join_tables", "agg_counts",
+    "sort_keys", "scan_files", "link_entities", "canonical_map", "emit_triples",
+]
+_VARIANT_SUFFIXES = ["", "_v2", "_impl"]
+_BASE_CLASSES = [
+    "DataLoader", "ConfigParser", "IndexBuilder", "QueryRunner", "ResultMerger",
+    "OutputWriter", "RemoteFetcher", "PairScorer", "ItemRanker", "TextChunker",
+]
+_MODULES = [
+    "os", "sys", "json", "math", "utils", "core", "engine", "index",
+    "query", "storage", "net", "fmt",
+]
+
+
+def _rs(i: int, seed: int) -> np.random.RandomState:
+    return np.random.RandomState((seed * 1_000_003 + i) & 0x7FFFFFFF)
+
+
+def _repo_of(i: int, rs: np.random.RandomState) -> str:
+    # mega-repo skew: ~30% of files land in org0/repo0.
+    if rs.rand() < MEGA_REPO_SHARE:
+        return "org0/repo0"
+    r = rs.randint(1, N_REPOS)
+    return f"org{r % 4}/repo{r}"
+
+
+def _commit_of(repo: str) -> str:
+    return hashlib.sha1(repo.encode()).hexdigest()  # 40-hex, constant per repo
+
+
+def func_pool() -> list[str]:
+    return [b + s for b in _BASE_FUNCS for s in _VARIANT_SUFFIXES]
+
+
+def _py_content(rs: np.random.RandomState) -> str:
+    pool = func_pool()
+    lines: list[str] = []
+    for m in sorted(rs.choice(_MODULES, size=rs.randint(1, 4), replace=False)):
+        lines.append(f"import {m}")
+    if rs.rand() < 0.5:
+        src = _MODULES[rs.randint(len(_MODULES))]
+        lines.append(f"from {src} import helper")
+    lines.append("")
+    if rs.rand() < 0.6:
+        cls = _BASE_CLASSES[rs.randint(len(_BASE_CLASSES))]
+        lines.append(f"class {cls}:")
+        lines.append("    def setup(self):")
+        lines.append("        pass")
+        lines.append("")
+    n_defs = rs.randint(1, 4)
+    defs = rs.choice(len(pool), size=n_defs, replace=False)
+    for d in defs:
+        fn = pool[d]
+        lines.append(f"def {fn}(x):")
+        # zipf-skewed call targets: a few hot functions are called everywhere.
+        n_calls = rs.randint(1, 4)
+        for _ in range(n_calls):
+            tgt = pool[min(int(rs.zipf(1.6)) - 1, len(pool) - 1)]
+            lines.append(f"    y = {tgt}(x)")
+        lines.append("    return y")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def _js_content(rs: np.random.RandomState) -> str:
+    pool = func_pool()
+    lines: list[str] = []
+    for m in sorted(rs.choice(_MODULES, size=rs.randint(1, 3), replace=False)):
+        lines.append(f"const {m} = require('{m}');")
+    lines.append("")
+    if rs.rand() < 0.4:
+        cls = _BASE_CLASSES[rs.randint(len(_BASE_CLASSES))]
+        lines.append(f"class {cls} {{}}")
+    n_defs = rs.randint(1, 3)
+    defs = rs.choice(len(pool), size=n_defs, replace=False)
+    for d in defs:
+        fn = pool[d]
+        tgt = pool[min(int(rs.zipf(1.6)) - 1, len(pool) - 1)]
+        lines.append(f"function {fn}(x) {{")
+        lines.append(f"  return {tgt}(x);")
+        lines.append("}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def file_row(i: int, seed: int = 42) -> tuple[str, str, str, str, str]:
+    """Pure function (i, seed) -> one files row."""
+    rs = _rs(i, seed)
+    repo = _repo_of(i, rs)
+    lang = "python" if rs.rand() < PY_SHARE else "javascript"
+    ext = "py" if lang == "python" else "js"
+    path = f"src/pkg{rs.randint(8)}/mod_{i}.{ext}"
+    content = _py_content(rs) if lang == "python" else _js_content(rs)
+    return repo, path, _commit_of(repo), lang, content
+
+
+def synth_files_pdf(n: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
+    """Driver/twin-side generation (tiny scales only)."""
+    rows = [file_row(i, seed) for i in range(start, start + n)]
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def synth_files_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed generation: spark.range -> mapInPandas, scale-ready.
+
+    At 10^12-file scale this is the stand-in for the Iceberg scan; each task
+    generates its id-range independently (no shuffle, no driver data).
+    """
+    from . import schemas
+
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = [file_row(int(i), seed) for i in ids]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return rng.mapInPandas(gen, schema=schemas.FILES)
