@@ -1,0 +1,104 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect).  The KG pipeline itself is benchmarked as
+``pipeline_triples`` over a 3,000-file synthetic corpus (FIXTURES.md §1
+bench size); files/sec + triples/sec for it are reported as extra keys.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+bench/scaling.py — results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "top_orders_by_revenue",
+    "topk_per_group",
+    "event_sessions",
+    "events_hourly",
+    "tf_terms",
+    "tfidf_search",
+    "cosine_tfidf_search",
+    "doc_fingerprint",
+    "simhash",
+    "minhash_near_dup_pairs",
+    "exact_dup_groups",
+    "knn_bruteforce",
+    "ann_lsh_topk",
+    "nearest_centroid",
+    "embedding_near_dups",
+    "kg_doc_mentions",
+    "kg_doc_triples",
+    "pipeline_triples",
+]
+
+PIPELINE_BENCH_FILES = 3000
+
+
+def _force(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from kgforge import synth
+    from kgforge.operators import registry
+    from kgforge.session import build_session
+    import kgforge.operators as ops
+    from kgforge.pipeline import run_pipeline
+    import tempfile
+
+    ops.load_all()
+    spark = build_session("kgforge-bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        if name == "pipeline_triples":
+            files = synth.synth_files_df(spark, PIPELINE_BENCH_FILES)
+            out = run_pipeline(spark, files, tempfile.mkdtemp(prefix="kgbench_"))
+            n_triples = out["triples"].count()
+            dt = time.time() - t0
+            extra["pipeline_files_per_sec"] = round(PIPELINE_BENCH_FILES / dt, 2)
+            extra["pipeline_triples_per_sec"] = round(n_triples / dt, 2)
+            extra["pipeline_n_triples"] = n_triples
+        else:
+            _force(registry.QUERIES[name](spark, sf_dir))
+            dt = time.time() - t0
+        timings[name] = round(dt, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,256 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` — the
+training-data-pipeline dedup family, each as a first-class query:
+
+- exact dedup: hash-groupBy on the full text
+- MinHash + LSH: shingle -> k minhashes -> banded bucket join -> exact
+  Jaccard verification (precision 1 by construction)
+- SimHash: tf-weighted bit votes over token hashes, pure JVM expressions
+- embedding-cosine near-dup: top pairs within label blocks.
+
+Everything runs as built-in expressions (md5/conv/bit ops) — no Python in
+any hot path; the banded self-join is the same blocking pattern as the
+pipeline's entity linker (stages/link.py), which is the point: dedup IS
+entity linking on content keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import ROUND, query, table
+
+MH_HASHES = 8
+MH_BANDS = 4          # bands of 2 minhashes each
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+NEARDUP_TOPK = 20
+
+_SQL_SHINGLES = r"""
+select doc_id,
+       list_distinct(case when len(ts) >= 3
+            then list_transform(range((len(ts) - 2)::BIGINT),
+                                j -> ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3])
+            else [array_to_string(ts, ' ')] end) as sh
+from (select doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '') as ts
+      from documents)
+"""
+
+
+def _tokens():
+    return F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda t: t != "")
+
+
+def _shingles_df(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    ts = _tokens()
+    sh = F.when(
+        F.size(ts) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 3),
+            lambda j: F.concat_ws(
+                " ", F.element_at(ts, j + 1), F.element_at(ts, j + 2), F.element_at(ts, j + 3)
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ts)))
+    return docs.select("doc_id", F.array_distinct(sh).alias("sh"))
+
+
+@query(
+    "exact_dup_groups",
+    oracle="""
+    select md5(text) as text_md5, count(*)::BIGINT as n_docs,
+           min(doc_id) as min_doc
+    from documents group by 1
+    """,
+)
+def exact_dup_groups(spark, sf_dir):
+    """Exact dedup: one hash-groupBy; min(doc_id) is the kept
+    representative."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+def _minhash_col(i: int):
+    # single-arg lambda: a two-arg lambda would receive the array index.
+    return F.array_min(
+        F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+    ).alias(f"mh{i}")
+
+
+def _minhash_cols():
+    return [_minhash_col(i) for i in range(MH_HASHES)]
+
+
+_SQL_MINHASH = ", ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') as mh{i}"
+    for i in range(MH_HASHES)
+)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"select doc_id, {_SQL_MINHASH} from ({_SQL_SHINGLES})",
+)
+def minhash_signatures(spark, sf_dir):
+    """k=8 MinHash signature over distinct 3-token shingles (md5-keyed,
+    engine-portable)."""
+    return _shingles_df(spark, sf_dir).select(F.col("doc_id"), *_minhash_cols())
+
+
+_SQL_BANDS = " union all ".join(
+    f"select doc_id, {b} as band, mh{2*b} || '|' || mh{2*b+1} as sig from sigs"
+    for b in range(MH_BANDS)
+)
+
+
+@query(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    with sh as ({_SQL_SHINGLES}),
+    sigs as (select doc_id, {_SQL_MINHASH} from sh),
+    bands as ({_SQL_BANDS}),
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from bands a join bands b on a.band = b.band and a.sig = b.sig
+      where a.doc_id < b.doc_id
+    )
+    select doc_a, doc_b,
+           round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / len(list_distinct(x.sh || y.sh)), {ROUND}) as jaccard
+    from cand join sh x on x.doc_id = doc_a join sh y on y.doc_id = doc_b
+    where len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def minhash_near_dup_pairs(spark, sf_dir):
+    """MinHash LSH near-dup detection: banded bucket self-join proposes
+    candidates, exact shingle Jaccard verifies (so precision is 1.0 and
+    recall is the banding probability — same verify-after-block shape as
+    stages/link.py)."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    sigs = sh.select("doc_id", *_minhash_cols())
+    bands = None
+    for b in range(MH_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}").alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (
+        left.join(right, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, ROUND).alias("jaccard"))
+    )
+
+
+def _simhash_spark():
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    return votes
+
+
+_SQL_SIMHASH_VOTES = ", ".join(
+    f"sum(case when (h >> {j}) & 1 = 1 then 1 else -1 end) as v{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SQL_SIMHASH_COMBINE = " + ".join(
+    f"(case when v{j} > 0 then {1 << j} else 0 end)" for j in range(SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash",
+    oracle=rf"""
+    with toks as (
+      select doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) as term
+      from documents
+    ),
+    hashed as (
+      select doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT as h
+      from toks where term <> ''
+    ),
+    votes as (select doc_id, {_SQL_SIMHASH_VOTES} from hashed group by doc_id)
+    select doc_id, ({_SQL_SIMHASH_COMBINE})::BIGINT as simhash from votes
+    """,
+)
+def simhash(spark, sf_dir):
+    """32-bit tf-weighted SimHash from token md5 prefixes — one exploded
+    hash-agg pass, bit votes as plain sums (JVM bit ops, no UDF)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    votes = toks.groupBy("doc_id").agg(*_simhash_spark())
+    combine = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    return votes.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+@query(
+    "embedding_near_dups",
+    oracle=f"""
+    select a, b, score from (
+      select x.vec_id as a, y.vec_id as b,
+             round(list_cosine_similarity(list_transform(x.embedding, v -> v::DOUBLE),
+                                          list_transform(y.embedding, v -> v::DOUBLE)),
+                   {ROUND}) as score,
+             row_number() over (
+               order by round(list_cosine_similarity(list_transform(x.embedding, v -> v::DOUBLE),
+                                                     list_transform(y.embedding, v -> v::DOUBLE)),
+                              {ROUND}) desc, x.vec_id, y.vec_id
+             ) as rn
+      from embeddings x join embeddings y
+        on x.label = y.label and x.vec_id < y.vec_id
+    ) where rn <= {NEARDUP_TOPK}
+    """,
+)
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup: label blocks bound the self-join (the
+    blocking key stands in for an LSH bucket), global top-20 pairs."""
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(F.col("label").alias("lbl"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    y = e.select(F.col("label").alias("lbl"), F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform("ea", lambda v: v.cast("double")),
+            F.transform("eb", lambda v: v.cast("double")),
+            lambda p, q: p * q,
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    na = F.sqrt(F.aggregate(F.transform("ea", lambda v: v.cast("double")), F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(F.transform("eb", lambda v: v.cast("double")), F.lit(0.0), lambda s, v: s + v * v))
+    pairs = (
+        x.join(y, "lbl")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(dot / (na * nb), ROUND).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= NEARDUP_TOPK).select(
+        "a", "b", "score"
+    )

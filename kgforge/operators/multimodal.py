@@ -1,0 +1,117 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads with typed
+metadata, processed via Arrow-batched mapInPandas (SURVEY.md mandate: the
+schema / partitioning / UDF-signature / batch-shape side is real and
+tested; actual image/audio codecs are STUBBED since the libs aren't in this
+container).
+
+The binary payload here is the UTF-8 encoding of ``documents.text`` — a
+deterministic stand-in with real bytes flowing through the binary column,
+the same shape as ``spark.read.format("binaryFile")`` output (reference
+analog: the PDF ingest path, /root/reference/experiments/document_upload.py:53-119).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .registry import query, table
+
+FEATURE_BINS = 8
+
+MM_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+
+def media_manifest(docs: DataFrame) -> DataFrame:
+    """documents -> binary-column manifest (payload, typed metadata)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", "image/png").otherwise("audio/wav").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+@query(
+    "mm_manifest",
+    oracle="""
+    select doc_id,
+           case when lang = 'en' then 'image/png' else 'audio/wav' end as media_type,
+           octet_length(encode(text))::BIGINT as n_bytes,
+           sha256(text) as payload_sha256
+    from documents
+    """,
+)
+def mm_manifest(spark, sf_dir):
+    """Binary-column manifest (metadata only — the payload itself is not
+    hash-compared across engines)."""
+    return media_manifest(table(spark, sf_dir, "documents")).drop("payload")
+
+
+def extract_features(manifest: DataFrame) -> DataFrame:
+    """Fake 'decode + feature-extract' over the binary column: an 8-bin
+    byte histogram per payload, computed in numpy over Arrow batches.
+
+    This is the exact plumbing a real image decoder would use (mapInPandas,
+    binary in / float array out, model-or-codec init once per partition);
+    swap the histogram for the codec when the libs exist.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition init (codec/model load) would happen HERE, once.
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=FEATURE_BINS, range=(0, 256))
+                total = max(int(hist.sum()), 1)
+                feats.append([round(float(v) / total, 6) for v in hist])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return manifest.mapInPandas(run, schema=MM_FEATURES_SCHEMA)
+
+
+@query("mm_features")
+def mm_features(spark, sf_dir):
+    """Rows-only: binary -> feature vectors via the stubbed decoder.
+    Determinism and batch-shape are pytest-verified (tests/test_multimodal.py)."""
+    m = media_manifest(table(spark, sf_dir, "documents"))
+    return extract_features(m)
+
+
+def frame_sample(manifest: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: REAL codecs are unavailable in this
+    container; the Spark-side contract (binary in, one row per sampled
+    frame out) is what this function pins down."""
+    raise NotImplementedError(
+        "video decode requires a codec library not present in this container; "
+        "implement run() with pyav/opencv and keep the mapInPandas contract"
+    )

@@ -1,0 +1,228 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.8):
+
+- brute-force cosine top-k (the reference's core search, J1/V4,
+  /root/reference/search/bert_search.py:176-181) as the exactness baseline
+- sign-LSH bucketed ANN as the scale path (the bucket equi-join replaces
+  the all-pairs broadcast at 10^12 rows)
+- nearest-centroid assignment (long-form elementwise mean) — the IVF
+  coarse-quantizer building block.
+
+All scoring is JVM-side expression work on array columns; doubles are
+rounded to ROUND decimals on both sides and every rank window is totally
+ordered (score desc, id) so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import ROUND, query, table
+
+N_QUERIES = 5          # vec_id < 5 are the query vectors
+TOPK = 10
+SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # fixed dims for the sign bucket
+
+
+def _dvec(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _cos(a: str, b: str):
+    dot = F.aggregate(F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(_dvec(a), F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(_dvec(b), F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+_SQL_COS = (
+    "list_cosine_similarity(list_transform({a}, x -> x::DOUBLE), "
+    "list_transform({b}, x -> x::DOUBLE))"
+)
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    with q as (select vec_id as qid, embedding as qe from embeddings where vec_id < {N_QUERIES})
+    select qid, vec_id, score from (
+      select q.qid, e.vec_id,
+             round({_SQL_COS.format(a="q.qe", b="e.embedding")}, {ROUND}) as score,
+             row_number() over (
+               partition by q.qid
+               order by round({_SQL_COS.format(a="q.qe", b="e.embedding")}, {ROUND}) desc, e.vec_id
+             ) as rn
+      from q cross join embeddings e
+      where e.vec_id <> q.qid
+    ) where rn <= {TOPK}
+    """,
+)
+def knn_bruteforce(spark, sf_dir):
+    """Broadcast nested-loop cosine top-k: the exactness baseline.  The
+    query side is tiny and broadcast; ranking uses the rounded score so the
+    cut is reproducible across engines and partition counts."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_cos("qe", "embedding"), ROUND).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK)
+        .select("qid", "vec_id", "score")
+    )
+
+
+def _bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"(case when {col}[{d + 1}] >= 0 then {1 << i} else 0 end)" for i, d in enumerate(SIGN_DIMS)
+    )
+
+
+def _bucket_col(col: str):
+    out = F.lit(0)
+    for i, d in enumerate(SIGN_DIMS):
+        out = out + F.when(F.element_at(F.col(col), d + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    select vec_id, ({_bucket_sql('embedding')})::BIGINT as bucket from embeddings
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """Deterministic 8-bit sign bucket from fixed embedding dims — the
+    blocking key that turns the O(N^2) scan into an equi-join."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", _bucket_col("embedding").alias("bucket"))
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    with b as (select vec_id, embedding, ({_bucket_sql('embedding')})::BIGINT as bucket from embeddings),
+    q as (select vec_id as qid, embedding as qe, bucket from b where vec_id < {N_QUERIES})
+    select qid, vec_id, score from (
+      select q.qid, e.vec_id,
+             round({_SQL_COS.format(a="q.qe", b="e.embedding")}, {ROUND}) as score,
+             row_number() over (
+               partition by q.qid
+               order by round({_SQL_COS.format(a="q.qe", b="e.embedding")}, {ROUND}) desc, e.vec_id
+             ) as rn
+      from q join b e using (bucket)
+      where e.vec_id <> q.qid
+    ) where rn <= {TOPK}
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """ANN: same top-k but candidates restricted to the query's sign
+    bucket — the scale path (bucket equi-join, AQE-skew-safe)."""
+    e = table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_col("embedding"))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    scored = (
+        e.join(q, "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_cos("qe", "embedding"), ROUND).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK)
+        .select("qid", "vec_id", "score")
+    )
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    select label, pos::INT as pos, round(avg(x), {ROUND}) as c
+    from (
+      select label, unnest(list_transform(embedding, v -> v::DOUBLE)) as x,
+             unnest(range(len(embedding))) as pos
+      from embeddings
+    )
+    group by label, pos
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Elementwise mean vector per label in long form (doc_id, pos, value) —
+    the idiomatic columnar encoding of a dense matrix reduce (SURVEY.md
+    §1.2.2); this is the IVF 'train centroids' step."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(_dvec("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), ROUND).alias("c"))
+    )
+
+
+@query(
+    "nearest_centroid",
+    oracle=f"""
+    with cen as (
+      select label as clabel, pos, avg(x) as c
+      from (select label, unnest(list_transform(embedding, v -> v::DOUBLE)) as x,
+                   unnest(range(len(embedding))) as pos
+            from embeddings)
+      group by label, pos
+    ),
+    cnorm as (select clabel, sqrt(sum(c*c)) as nc from cen group by clabel),
+    v as (select vec_id, label, unnest(list_transform(embedding, x -> x::DOUBLE)) as x,
+                 unnest(range(len(embedding))) as pos
+          from embeddings),
+    vnorm as (select vec_id, sqrt(sum(x*x)) as nv from v group by vec_id),
+    dots as (select v.vec_id, any_value(v.label) as label, cen.clabel, sum(v.x * cen.c) as dot
+             from v join cen using (pos) group by v.vec_id, cen.clabel)
+    select vec_id, label, clabel as pred_label, sim from (
+      select d.vec_id, d.label, d.clabel,
+             round(d.dot / (vnorm.nv * cnorm.nc), {ROUND}) as sim,
+             row_number() over (
+               partition by d.vec_id
+               order by round(d.dot / (vnorm.nv * cnorm.nc), {ROUND}) desc, d.clabel
+             ) as rn
+      from dots d join vnorm using (vec_id) join cnorm using (clabel)
+    ) where rn = 1
+    """,
+)
+def nearest_centroid(spark, sf_dir):
+    """IVF assignment step: cosine of every vector against every label
+    centroid (10 centroids -> broadcast), argmax per vector.  Long-form
+    joins keep everything in whole-stage codegen."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.posexplode(_dvec("embedding")).alias("pos", "x"))
+    cen = (
+        v.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.avg("x").alias("c"))
+    )
+    cnorm = cen.groupBy("clabel").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    vnorm = v.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"))
+    dots = (
+        v.join(F.broadcast(cen), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.any_value(F.col("label")).alias("label"), F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    sim = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(F.col("dot") / (F.col("nv") * F.col("nc")), ROUND).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("clabel"))
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred_label"), "sim")
+    )

@@ -36,4 +36,6 @@ def small_files(spark, small_files_pdf):
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return "/root/testdata/sf0.001"
+    import os
+
+    return os.environ.get("KGFORGE_TEST_SF_DIR", "/root/testdata/sf0.001")
