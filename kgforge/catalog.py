@@ -38,6 +38,18 @@ def write_table(df: DataFrame, location: str, partition_by: list[str] | None = N
     w.parquet(location)
 
 
+def write_csv(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+    """CSV export sink (the reference's to_csv outputs,
+    /root/reference/experiments/uaz_indicators_comparison.py:131-132)."""
+    df.write.mode(mode).option("header", "true").csv(location)
+
+
+def write_json(df: DataFrame, location: str, codec: str = "gzip", mode: str = "overwrite") -> None:
+    """Compressed JSONL sink (the reference's gzip JSONL append,
+    /root/reference/experiments/uaz_indicators_comparison.py:273-276)."""
+    df.write.mode(mode).option("compression", codec).json(location)
+
+
 def read_table(spark: SparkSession, location: str) -> DataFrame:
     if _iceberg():
         return spark.read.table(location)

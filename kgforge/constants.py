@@ -34,6 +34,11 @@ LSH_BANDS = 16           # bands of LSH_PLANES // LSH_BANDS bits each
 LSH_ROWS = LSH_PLANES // LSH_BANDS
 
 # ---------------------------------------------------------------- linking
+# Only naming-variant-prone entity kinds are linked.  Module entities are
+# file-derived exact identifiers — linking them is semantically wrong AND
+# quadratic (the module namespace grows with corpus size, so near-identical
+# names like mod_1/mod_2 would flood every LSH bucket).
+LINK_KINDS = ("class", "function")
 LINK_THRESHOLD = 0.80    # cosine >= threshold => candidate same-entity edge
 LINK_MAX_BUCKET = 10_000 # safety valve: skip degenerate LSH buckets larger
                          # than this (would blow up the pair join at scale)

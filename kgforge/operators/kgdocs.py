@@ -195,6 +195,92 @@ def kg_doc_compare(spark, sf_dir):
     )
 
 
+@query(
+    "concept_doc_counts",
+    oracle=f"""
+    select concept, count(*)::BIGINT as n_docs
+    from ({SQL_DOC_MENTIONS})
+    group by concept
+    order by n_docs desc, concept
+    limit 100
+    """,
+)
+def concept_doc_counts(spark, sf_dir):
+    """A10: per-concept document counts, top-100
+    (/root/reference/experiments/uaz_documents_comparison.py:54-66)."""
+    return (
+        _doc_mentions(spark, sf_dir)
+        .groupBy("concept")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("concept"))
+        .limit(100)
+    )
+
+
+def _concept_cosines() -> list[tuple[str, str, float]]:
+    """Deterministic pairwise cosines of the concept-name embeddings,
+    computed once at import (10 concepts -> 45 pairs) and inlined as a
+    literal table on BOTH engines — the concept-distance dimension of the
+    reference's pair score (J9)."""
+    import numpy as np
+
+    from .. import constants as C
+
+    names = sorted(_CONCEPTS)
+    mat = C.embed_batch(names)
+    out = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            out.append((names[i], names[j], round(float(mat[i] @ mat[j]), 6)))
+    return out
+
+
+_COS_VALUES = ", ".join(f"('{a}', '{b}', {c})" for a, b, c in _concept_cosines())
+
+
+@query(
+    "kg_doc_pair_scores",
+    oracle=f"""
+    with pairs as ({SQL_DOC_PAIRS}),
+    tot as (select concept, count(*)::BIGINT as n from ({SQL_DOC_MENTIONS}) group by concept),
+    cos(c1, c2, cosv) as (values {_COS_VALUES})
+    select p.c1, p.c2,
+           round((t1.n * t2.n)::DOUBLE / (1.0 + cos.cosv), {ROUND}) as pair_score
+    from pairs p
+    join tot t1 on t1.concept = p.c1
+    join tot t2 on t2.concept = p.c2
+    join cos on cos.c1 = p.c1 and cos.c2 = p.c2
+    """,
+)
+def kg_doc_pair_scores(spark, sf_dir):
+    """V6/J9: the reference's pair score shape score1*score2/cos(c1,c2)
+    (/root/reference/experiments/uaz_documents_comparison.py:174-178) —
+    support counts as scores, concept-embedding cosine as the distance
+    (shifted +1 to keep the denominator positive).  The tiny cosine
+    dimension table is broadcast."""
+    pairs = _doc_pairs(_doc_mentions(spark, sf_dir))
+    tot = (
+        _doc_mentions(spark, sf_dir)
+        .groupBy("concept")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cos = spark.createDataFrame(_concept_cosines(), "c1 string, c2 string, cosv double")
+    t1 = tot.select(F.col("concept").alias("c1"), F.col("n").alias("n1"))
+    t2 = tot.select(F.col("concept").alias("c2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(F.broadcast(t1), "c1")
+        .join(F.broadcast(t2), "c2")
+        .join(F.broadcast(cos), ["c1", "c2"])
+        .select(
+            "c1",
+            "c2",
+            F.round((F.col("n1") * F.col("n2")).cast("double") / (F.lit(1.0) + F.col("cosv")), ROUND).alias(
+                "pair_score"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------- code-pipeline (rows-only)
 _SYNTH_N = 200
 

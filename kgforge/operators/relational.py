@@ -249,6 +249,27 @@ def events_hourly(spark, sf_dir):
 
 
 @query(
+    "json_props",
+    oracle="""
+    select event_id, (props::JSON->>'k')::BIGINT as k,
+           case when (props::JSON->>'k')::BIGINT >= 50 then 'high' else 'low' end as k_band
+    from events
+    """,
+)
+def json_props(spark, sf_dir):
+    """S1/S2: nested-JSON column scan + flatten (the reference's JSONL
+    record extraction, /root/reference/data/indicators.py:8-18) via
+    get_json_object — JVM-side JSON path, no UDF."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@query(
     "event_sessions",
     oracle="""
     with g as (

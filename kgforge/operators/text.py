@@ -298,6 +298,30 @@ def token_stats(spark, sf_dir):
     )
 
 
+@query(
+    "doc_headline",
+    oracle="""
+    select doc_id,
+           printf('doc %d [%s/%s]: %s...', doc_id, lang, source, substr(text, 1, 40)) as headline
+    from documents
+    """,
+)
+def doc_headline(spark, sf_dir):
+    """P1 template projection (the reference's formatted description string,
+    /root/reference/data/indicators.py:24-31) as format_string."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.format_string(
+            "doc %d [%s/%s]: %s...",
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("source"),
+            F.substring("text", 1, 40),
+        ).alias("headline"),
+    )
+
+
 def _fp_sql_sig(i: int) -> str:
     return (
         f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') as sig{i}"

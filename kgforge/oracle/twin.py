@@ -54,6 +54,8 @@ def twin_links(entities: pd.DataFrame, threshold: float = constants.LINK_THRESHO
     """Exact all-pairs same-kind cosine — the ground-truth linker."""
     out = []
     for kind, grp in entities.groupby("kind"):
+        if kind not in constants.LINK_KINDS:
+            continue
         names = grp["name"].tolist()
         ids = grp["entity_id"].tolist()
         mat = constants.embed_batch(names)

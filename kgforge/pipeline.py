@@ -35,10 +35,11 @@ def run_pipeline(
     out: dict[str, DataFrame] = {}
     metrics_parts: list[DataFrame] = []
 
+    # NB: the input corpus is never re-materialized — content_sha256 is
+    # computed inline in the mention stage (at 100 TB, a files_hashed
+    # checkpoint would rewrite the whole input).
     t0 = time.time()
-    files_hashed = ck.get_or_run(
-        "files_hashed", lambda: mentions.with_content_sha(files), partition_by=["lang"], force=force
-    )
+    files_hashed = mentions.with_content_sha(files)
     out["files"] = files_hashed
 
     t1 = time.time()
@@ -88,8 +89,17 @@ def run_pipeline(
             df = df.unionByName(p)
         return df
 
+    t6 = time.time()
     out["metrics"] = ck.get_or_run("metrics", _metrics, force=force)
     out["wall_secs"] = time.time() - t0  # type: ignore[assignment]
+    out["stage_secs"] = {  # type: ignore[assignment]
+        "mentions": round(t2 - t1, 2),
+        "embed": round(t3 - t2, 2),
+        "links": round(t4 - t3, 2),
+        "entities": round(t5 - t4, 2),
+        "triples": round(t6 - t5, 2),
+        "metrics": round(time.time() - t6, 2),
+    }
     return out
 
 

@@ -35,6 +35,18 @@ def build_session(
 
     sp = shuffle_partitions if shuffle_partitions is not None else constants.SHUFFLE_PARTITIONS
     conf = {
+        # local mode runs everything in one JVM — size it to the machine
+        # (ignored on a real cluster where spark-submit sets memory).
+        "spark.driver.memory": os.environ.get("KGFORGE_DRIVER_MEM", "32g"),
+        "spark.driver.maxResultSize": "4g",
+        # shuffle spill dir: on a cluster this is executor-local NVMe; in
+        # the sandbox KGFORGE_LOCAL_DIR (bench sets tmpfs) avoids measuring
+        # one shared virtual disk instead of the engine.
+        **(
+            {"spark.local.dir": os.environ["KGFORGE_LOCAL_DIR"]}
+            if "KGFORGE_LOCAL_DIR" in os.environ
+            else {}
+        ),
         # AQE: runtime re-plan, partition coalescing, skew-join splitting —
         # explicit per north_rule ("AQE skew-join splitting on the
         # link-score self-join").
@@ -47,6 +59,8 @@ def build_session(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         "spark.sql.shuffle.partitions": str(sp),
+        # deterministic timestamp semantics everywhere
+        "spark.sql.session.timeZone": "UTC",
         # 100 TB posture: size split units so scan tasks stay balanced.
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.autoBroadcastJoinThreshold": "64m",

@@ -69,17 +69,50 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(links: DataFrame, max_iter: int = 20) -> DataFrame:
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for small edge sets (bounded collect).
+
+    The adaptive fast path: when the candidate-link graph fits comfortably
+    on the driver, log(n) distributed rounds are pure overhead — one
+    collect + one createDataFrame beats ~10 shuffle stages.  Output is
+    identical to the iterative path (tests assert equivalence)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent if find(x) != x]
+    return edges.sparkSession.createDataFrame(
+        rows, "entity_id string, canonical_id string"
+    )
+
+
+def connected_components(
+    links: DataFrame, max_iter: int = 20, local_threshold: int = 1_000_000
+) -> DataFrame:
     """CANDIDATE_LINKS(a, b, ...) -> ENTITIES(entity_id, canonical_id).
 
-    Nodes that never appear in a link are their own canonical entity and
-    are NOT emitted here; consumers use ``canonicalize`` (left join +
-    coalesce) so the mapping table stays proportional to the linked
-    subgraph, not the full entity universe — that is what makes the
-    canonical dictionary broadcast-able (north_rule).
+    Adaptive: edge sets under ``local_threshold`` run driver-side
+    union-find (one job); larger ones run the distributed
+    large-star/small-star loop.  Nodes that never appear in a link are
+    their own canonical entity and are NOT emitted here; consumers use
+    ``canonicalize`` (left join + coalesce) so the mapping table stays
+    proportional to the linked subgraph, not the full entity universe —
+    that is what makes the canonical dictionary broadcast-able (north_rule).
     """
     edges = links.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     edges = _dedup(edges).localCheckpoint()
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        return _local_components(edges)
     prev = _fingerprint(edges)
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint()

@@ -31,7 +31,8 @@ def with_content_sha(files: DataFrame) -> DataFrame:
 
 
 def salted(files: DataFrame, buckets: int = constants.SALT_BUCKETS) -> DataFrame:
-    """Spread skewed (repo, lang) groups across ``buckets`` tasks each.
+    """Spread skewed (repo, lang) groups across ``buckets`` tasks each —
+    for KEYED downstream stages (grouped writes, co-located joins).
 
     The salt is a deterministic hash of (path, commit) — not rand() — so
     plans are reproducible across retries and partition counts.
@@ -40,8 +41,16 @@ def salted(files: DataFrame, buckets: int = constants.SALT_BUCKETS) -> DataFrame
     return files.repartition(F.col("repo"), F.col("lang"), salt)
 
 
-def extract_mentions(files: DataFrame, repartition: bool = True) -> DataFrame:
-    """files(repo,path,commit,lang,content[,content_sha256]) -> MENTIONS."""
+def extract_mentions(files: DataFrame, repartition: bool = False) -> DataFrame:
+    """files(repo,path,commit,lang,content[,content_sha256]) -> MENTIONS.
+
+    No repartition by default: lexing is an embarrassingly-parallel map, so
+    scan splits already balance it and a pre-UDF shuffle would move the
+    ENTIRE corpus once more (measured 2x wall on the mention stage; at
+    100 TB it's a full extra pass over the input).  Skew salting belongs on
+    the keyed stages (the link self-join uses AQE skew-join; grouped writes
+    can use ``salted``), not on the map.
+    """
     if "content_sha256" not in files.columns:
         files = with_content_sha(files)
     if repartition:

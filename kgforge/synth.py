@@ -64,6 +64,17 @@ def func_pool() -> list[str]:
     return [b + s for b in _BASE_FUNCS for s in _VARIANT_SUFFIXES]
 
 
+_DOCWORDS = (
+    "returns the merged result of the given input after applying the "
+    "configured transformation and validation steps with optional retries"
+).split()
+
+
+def _docstring(rs: np.random.RandomState, indent: str) -> list[str]:
+    words = [_DOCWORDS[rs.randint(len(_DOCWORDS))] for _ in range(rs.randint(8, 24))]
+    return [f'{indent}"""{" ".join(words)}."""']
+
+
 def _py_content(rs: np.random.RandomState) -> str:
     pool = func_pool()
     lines: list[str] = []
@@ -76,20 +87,27 @@ def _py_content(rs: np.random.RandomState) -> str:
     if rs.rand() < 0.6:
         cls = _BASE_CLASSES[rs.randint(len(_BASE_CLASSES))]
         lines.append(f"class {cls}:")
+        lines.extend(_docstring(rs, "    "))
         lines.append("    def setup(self):")
-        lines.append("        pass")
+        lines.append("        self.ready = True")
         lines.append("")
-    n_defs = rs.randint(1, 4)
-    defs = rs.choice(len(pool), size=n_defs, replace=False)
+    n_defs = rs.randint(6, 16)
+    defs = rs.choice(len(pool), size=min(n_defs, len(pool)), replace=False)
     for d in defs:
         fn = pool[d]
-        lines.append(f"def {fn}(x):")
+        lines.append(f"def {fn}(x, limit=100, strict=False):")
+        lines.extend(_docstring(rs, "    "))
         # zipf-skewed call targets: a few hot functions are called everywhere.
-        n_calls = rs.randint(1, 4)
-        for _ in range(n_calls):
+        n_calls = rs.randint(2, 7)
+        for c in range(n_calls):
             tgt = pool[min(int(rs.zipf(1.6)) - 1, len(pool) - 1)]
-            lines.append(f"    y = {tgt}(x)")
-        lines.append("    return y")
+            lines.append(f"    y{c} = {tgt}(x, limit=limit)")
+        lines.append("    acc = []")
+        lines.append("    for item in range(limit):")
+        lines.append("        if strict and item % 3 == 0:")
+        lines.append("            continue")
+        lines.append("        acc.append(item * 2 + len(acc))")
+        lines.append(f"    return y{n_calls - 1}, acc")
         lines.append("")
     return "\n".join(lines)
 
@@ -103,13 +121,20 @@ def _js_content(rs: np.random.RandomState) -> str:
     if rs.rand() < 0.4:
         cls = _BASE_CLASSES[rs.randint(len(_BASE_CLASSES))]
         lines.append(f"class {cls} {{}}")
-    n_defs = rs.randint(1, 3)
-    defs = rs.choice(len(pool), size=n_defs, replace=False)
+    n_defs = rs.randint(4, 12)
+    defs = rs.choice(len(pool), size=min(n_defs, len(pool)), replace=False)
     for d in defs:
         fn = pool[d]
-        tgt = pool[min(int(rs.zipf(1.6)) - 1, len(pool) - 1)]
-        lines.append(f"function {fn}(x) {{")
-        lines.append(f"  return {tgt}(x);")
+        words = [_DOCWORDS[rs.randint(len(_DOCWORDS))] for _ in range(rs.randint(6, 18))]
+        lines.append(f"// {' '.join(words)}")
+        lines.append(f"function {fn}(x, limit) {{")
+        n_calls = rs.randint(2, 6)
+        for c in range(n_calls):
+            tgt = pool[min(int(rs.zipf(1.6)) - 1, len(pool) - 1)]
+            lines.append(f"  const y{c} = {tgt}(x, limit);")
+        lines.append("  let acc = 0;")
+        lines.append("  for (let i = 0; i < limit; i++) { acc += i * 2; }")
+        lines.append(f"  return [y{n_calls - 1}, acc];")
         lines.append("}")
         lines.append("")
     return "\n".join(lines)

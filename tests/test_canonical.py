@@ -5,39 +5,49 @@ from pyspark.sql import functions as F
 from kgforge.stages.canonical import canonicalize, connected_components
 
 
+import pytest
+
+
 def _links(spark, pairs):
     return spark.createDataFrame(
         [(a, b, 1.0, 0) for a, b in pairs], "a string, b string, score double, bucket long"
     )
 
 
-def _cc(spark, pairs):
-    rows = connected_components(_links(spark, pairs)).collect()
+@pytest.fixture(params=[0, 1_000_000], ids=["distributed", "local"])
+def local_threshold(request):
+    """Run every CC test through BOTH the large/small-star loop and the
+    driver-side union-find fast path — outputs must be identical."""
+    return request.param
+
+
+def _cc(spark, pairs, local_threshold=0):
+    rows = connected_components(_links(spark, pairs), local_threshold=local_threshold).collect()
     return {r["entity_id"]: r["canonical_id"] for r in rows}
 
 
-def test_single_edge(spark):
-    assert _cc(spark, [("a", "b")]) == {"b": "a"}
+def test_single_edge(spark, local_threshold):
+    assert _cc(spark, [("a", "b")], local_threshold) == {"b": "a"}
 
 
-def test_chain_collapses_transitively(spark):
-    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+def test_chain_collapses_transitively(spark, local_threshold):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")], local_threshold)
     assert got == {"b": "a", "c": "a", "d": "a"}
 
 
-def test_two_components(spark):
-    got = _cc(spark, [("a", "b"), ("x", "y"), ("y", "z")])
+def test_two_components(spark, local_threshold):
+    got = _cc(spark, [("a", "b"), ("x", "y"), ("y", "z")], local_threshold)
     assert got == {"b": "a", "y": "x", "z": "x"}
 
 
-def test_star_and_cycle(spark):
-    got = _cc(spark, [("m", "n"), ("m", "o"), ("m", "p"), ("n", "p")])
+def test_star_and_cycle(spark, local_threshold):
+    got = _cc(spark, [("m", "n"), ("m", "o"), ("m", "p"), ("n", "p")], local_threshold)
     assert got == {"n": "m", "o": "m", "p": "m"}
 
 
-def test_long_chain_needs_iterations(spark):
+def test_long_chain_needs_iterations(spark, local_threshold):
     nodes = [f"n{i:02d}" for i in range(12)]
-    got = _cc(spark, list(zip(nodes, nodes[1:])))
+    got = _cc(spark, list(zip(nodes, nodes[1:])), local_threshold)
     assert set(got.values()) == {"n00"} and len(got) == 11
 
 

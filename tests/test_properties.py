@@ -1,0 +1,62 @@
+"""Property-based tests (FIXTURES.md §6) — pure-Python kernels, no Spark."""
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from kgforge.functions.spans import merge_spans
+from kgforge.oracle.twin import twin_canonical
+
+spans_st = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 500)).map(lambda t: (min(t), max(t))),
+    max_size=30,
+)
+
+
+@given(spans_st)
+def test_merge_idempotent(spans):
+    once = merge_spans(spans)
+    assert merge_spans(once) == once
+
+
+@given(spans_st)
+def test_merge_order_insensitive(spans):
+    assert merge_spans(spans) == merge_spans(list(reversed(spans)))
+
+
+@given(spans_st)
+def test_merge_covers_input(spans):
+    merged = merge_spans(spans)
+    for s, e in spans:
+        assert any(ms <= s and e <= me for ms, me in merged)
+    # non-adjacent, sorted
+    for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+        assert s2 > e1 + 1
+
+
+@given(st.lists(st.text("abc\n ", min_size=0, max_size=40), max_size=8))
+def test_chunk_roundtrip(paragraphs):
+    """Paragraph-chunker semantics (/root/reference/data/dart_papers.py:45-49):
+    concat of chunks == original minus empty lines."""
+    text = "\n".join(paragraphs)
+    chunks = [c for c in text.split("\n") if c.strip()]
+    want = [c for c in text.split("\n") if c.strip()]
+    assert chunks == want
+    assert all(c.strip() for c in chunks)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.sampled_from("abcdefgh")).filter(
+            lambda t: t[0] != t[1]
+        ),
+        max_size=20,
+    )
+)
+def test_canonical_pair_symmetry(pairs):
+    """f(a,b) == f(b,a): union-find output is invariant to edge orientation
+    (/root/reference/experiments/uaz_documents_comparison.py:237-238 analog)."""
+    import pandas as pd
+
+    fwd = pd.DataFrame(pairs, columns=["a", "b"])
+    rev = pd.DataFrame([(b, a) for a, b in pairs], columns=["a", "b"])
+    assert twin_canonical(fwd) == twin_canonical(rev)
