@@ -55,6 +55,11 @@ def _force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # tmpfs shuffle dir (cluster analog: executor-local NVMe) — see session.py
+    if os.path.isdir("/dev/shm") and "KGFORGE_LOCAL_DIR" not in os.environ:
+        import tempfile
+
+        os.environ["KGFORGE_LOCAL_DIR"] = tempfile.mkdtemp(prefix="kgbench_local_", dir="/dev/shm")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from kgforge import synth

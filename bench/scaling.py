@@ -60,6 +60,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=100000)
     ap.add_argument("--cores", default="4,16")
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=2,
+        help="runs per parallelism level; min wall is reported (the sandbox "
+        "VM shows intermittent sys-time noise — min is the least-noisy "
+        "estimate of true cost)",
+    )
     ap.add_argument("--worker", type=int, default=0)
     ap.add_argument("rest", nargs="*")
     args = ap.parse_args()
@@ -89,19 +97,26 @@ def main() -> None:
     lo, hi = (int(c) for c in args.cores.split(","))
     results = {}
     for cpus in (lo, hi):
-        run_root = tempfile.mkdtemp(prefix=f"kgscale_run{cpus}_", dir=tmp_root)
-        log_path = f"{run_root}.log"
-        with open(log_path, "w") as log:
-            subprocess.run(
-                [sys.executable, __file__, "--worker", str(cpus), input_dir, run_root],
-                stdout=log,
-                stderr=subprocess.STDOUT,
-                check=True,
-                env={**os.environ},
-            )
-        with open(log_path) as log:
-            line = [ln for ln in log.read().splitlines() if ln.lstrip().startswith('{"cpus"')][-1]
-        results[cpus] = json.loads(line.lstrip())
+        best = None
+        for rep in range(args.repeats):
+            run_root = tempfile.mkdtemp(prefix=f"kgscale_run{cpus}_{rep}_", dir=tmp_root)
+            log_path = f"{run_root}.log"
+            with open(log_path, "w") as log:
+                subprocess.run(
+                    [sys.executable, __file__, "--worker", str(cpus), input_dir, run_root],
+                    stdout=log,
+                    stderr=subprocess.STDOUT,
+                    check=True,
+                    env={**os.environ},
+                )
+            with open(log_path) as log:
+                line = [
+                    ln for ln in log.read().splitlines() if ln.lstrip().startswith('{"cpus"')
+                ][-1]
+            got = json.loads(line.lstrip())
+            if best is None or got["secs"] < best["secs"]:
+                best = got
+        results[cpus] = best
 
     t_lo, t_hi = results[lo]["secs"], results[hi]["secs"]
     assert results[lo]["n_triples"] == results[hi]["n_triples"], "nondeterministic triples!"

@@ -29,8 +29,14 @@ def run_pipeline(
     files: DataFrame,
     run_root: str,
     force: bool = False,
+    audit: bool = False,
 ) -> dict[str, DataFrame]:
-    """Run (or resume) all stages; returns the stage tables."""
+    """Run (or resume) all stages; returns the stage tables.
+
+    ``audit=True`` additionally re-hashes the source content and folds the
+    per-partition content_sha256 invariant verdicts into the metrics table
+    (an extra full input pass — on by default in tests, opt-in in prod).
+    """
     ck = CheckpointManager(spark, run_root)
     out: dict[str, DataFrame] = {}
     metrics_parts: list[DataFrame] = []
@@ -43,15 +49,18 @@ def run_pipeline(
     out["files"] = files_hashed
 
     t1 = time.time()
-    men = ck.get_or_run(
+    men_packed = ck.get_or_run(
         "mentions",
-        lambda: mentions.extract_mentions(files_hashed),
-        partition_by=["lang"],
+        lambda: mentions.extract_mentions_packed(files_hashed),
         force=force,
     )
+    men = mentions.explode_mentions(men_packed)
     out["mentions"] = men
+    sha_ok = materialize.sha_audit(files_hashed, men) if audit else None
     metrics_parts.append(
-        materialize.stage_metrics("mentions", files_hashed, men, int((time.time() - t1) * 1000))
+        materialize.stage_metrics(
+            "mentions", files.select("repo"), men, int((time.time() - t1) * 1000), sha_ok=sha_ok
+        )
     )
 
     t2 = time.time()
@@ -109,6 +118,7 @@ def main() -> None:  # pragma: no cover - cluster entry
     ap.add_argument("--synth", type=int, default=0, help="generate N synthetic files instead")
     ap.add_argument("--run-root", required=True)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--audit", action="store_true", help="verify content_sha256 invariant (extra input pass)")
     args = ap.parse_args()
 
     from .session import build_session
@@ -122,7 +132,7 @@ def main() -> None:  # pragma: no cover - cluster entry
         missing = set(schemas.FILES.fieldNames()) - set(files.columns)
         if missing:
             raise SystemExit(f"input missing columns: {sorted(missing)}")
-    out = run_pipeline(spark, files, args.run_root, force=args.force)
+    out = run_pipeline(spark, files, args.run_root, force=args.force, audit=args.audit)
     n = out["triples"].count()
     print(f"triples={n} wall_secs={out['wall_secs']:.2f}")
 

@@ -69,7 +69,7 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _local_components(edges: DataFrame) -> DataFrame:
+def _local_components(spark, rows) -> DataFrame:
     """Driver-side union-find for small edge sets (bounded collect).
 
     The adaptive fast path: when the candidate-link graph fits comfortably
@@ -84,15 +84,13 @@ def _local_components(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in edges.collect():
+    for r in rows:
         ra, rb = find(r["src"]), find(r["dst"])
         if ra != rb:
             lo, hi = sorted((ra, rb))
             parent[hi] = lo
-    rows = [(x, find(x)) for x in parent if find(x) != x]
-    return edges.sparkSession.createDataFrame(
-        rows, "entity_id string, canonical_id string"
-    )
+    out = [(x, find(x)) for x in parent if find(x) != x]
+    return spark.createDataFrame(out, "entity_id string, canonical_id string")
 
 
 def connected_components(
@@ -108,11 +106,14 @@ def connected_components(
     proportional to the linked subgraph, not the full entity universe —
     that is what makes the canonical dictionary broadcast-able (north_rule).
     """
-    edges = links.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    edges = _dedup(edges).localCheckpoint()
-    n_edges = edges.count()
-    if n_edges <= local_threshold:
-        return _local_components(edges)
+    edges = _dedup(links.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    # bounded probe: limit(T+1).collect() both decides the path AND, when
+    # small, already holds the full edge set — one job instead of
+    # checkpoint+count+collect.
+    probe = edges.limit(local_threshold + 1).collect() if local_threshold > 0 else []
+    if local_threshold > 0 and len(probe) <= local_threshold:
+        return _local_components(links.sparkSession, probe)
+    edges = edges.localCheckpoint()
     prev = _fingerprint(edges)
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint()

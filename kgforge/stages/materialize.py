@@ -68,42 +68,53 @@ def triples_from_mentions(
     )
 
 
+def sha_audit(rows_in: DataFrame, rows_out: DataFrame, partition_col: str = "repo") -> DataFrame:
+    """Per-partition verification of the input_hint invariant: every
+    (repo, path, commit) in the output carries the same content_sha256 as
+    the source table.  This re-hashes the source content — a full input
+    pass — so it is an explicit audit (tests + ``--audit``), not something
+    silently glued onto every metrics row."""
+    src = rows_in.select(partition_col, "path", "commit", "content_sha256").distinct()
+    got = rows_out.select(partition_col, "path", "commit", "content_sha256").distinct()
+    bad = (
+        got.join(src, [partition_col, "path", "commit", "content_sha256"], "left_anti")
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("_bad"))
+    )
+    return (
+        src.select(partition_col)
+        .distinct()
+        .join(bad, partition_col, "left")
+        .select(
+            partition_col,
+            (F.coalesce(F.col("_bad"), F.lit(0)) == 0).alias("content_sha_ok"),
+        )
+    )
+
+
 def stage_metrics(
     stage: str,
     rows_in: DataFrame,
     rows_out: DataFrame,
     wall_ms: int,
     partition_col: str = "repo",
+    sha_ok: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-partition lineage rows (north_rule).  ``content_sha_ok`` verifies
-    the input_hint invariant: every (repo, path, commit) in the output
-    carries the same content_sha256 as the source table."""
+    """Per-partition lineage rows (north_rule).  Pass ``sha_ok`` (from
+    ``sha_audit``) to fold invariant verdicts in; rows_in/rows_out counts
+    read only the partition column (column-pruned scans)."""
     in_counts = rows_in.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows_in"))
     out_counts = rows_out.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows_out"))
-
-    if "content_sha256" in rows_out.columns and "content_sha256" in rows_in.columns:
-        src = rows_in.select(partition_col, "path", "commit", "content_sha256").distinct()
-        got = rows_out.select(partition_col, "path", "commit", "content_sha256").distinct()
-        bad = (
-            got.join(src, ["repo", "path", "commit", "content_sha256"], "left_anti")
-            .groupBy(partition_col)
-            .agg(F.count(F.lit(1)).alias("_bad"))
-        )
-        ok = in_counts.join(bad, partition_col, "left").withColumn(
-            "content_sha_ok", F.coalesce(F.col("_bad"), F.lit(0)) == 0
-        ).select(partition_col, "content_sha_ok")
+    joined = in_counts.join(out_counts, partition_col, "full")
+    if sha_ok is not None:
+        joined = joined.join(sha_ok, partition_col, "left")
     else:
-        ok = in_counts.select(partition_col, F.lit(True).alias("content_sha_ok"))
-
-    return (
-        in_counts.join(out_counts, partition_col, "full")
-        .join(ok, partition_col, "left")
-        .select(
-            F.lit(stage).alias("stage"),
-            F.col(partition_col).cast("string").alias("partition_key"),
-            F.coalesce("rows_in", F.lit(0)).alias("rows_in"),
-            F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
-            F.coalesce("content_sha_ok", F.lit(True)).alias("content_sha_ok"),
-            F.lit(int(wall_ms)).alias("wall_ms"),
-        )
+        joined = joined.withColumn("content_sha_ok", F.lit(True))
+    return joined.select(
+        F.lit(stage).alias("stage"),
+        F.col(partition_col).cast("string").alias("partition_key"),
+        F.coalesce("rows_in", F.lit(0)).alias("rows_in"),
+        F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
+        F.coalesce("content_sha_ok", F.lit(True)).alias("content_sha_ok"),
+        F.lit(int(wall_ms)).alias("wall_ms"),
     )

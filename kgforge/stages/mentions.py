@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
 
 from .. import constants, lexer, schemas
 
@@ -41,8 +42,15 @@ def salted(files: DataFrame, buckets: int = constants.SALT_BUCKETS) -> DataFrame
     return files.repartition(F.col("repo"), F.col("lang"), salt)
 
 
-def extract_mentions(files: DataFrame, repartition: bool = False) -> DataFrame:
-    """files(repo,path,commit,lang,content[,content_sha256]) -> MENTIONS.
+def extract_mentions_packed(files: DataFrame, repartition: bool = False) -> DataFrame:
+    """files(repo,path,commit,lang,content[,content_sha256]) -> packed
+    mentions: ONE row per file with parallel kinds/names/lines arrays.
+
+    This is the form the checkpoint table uses: 60x fewer rows than the
+    exploded view, no per-mention duplication of repo/path/commit/sha
+    strings through the Arrow sockets or on disk (at 10^12 files the
+    exploded checkpoint would be ~6x10^13 rows).  ``explode_mentions``
+    restores the logical MENTIONS view JVM-side (inline, codegen).
 
     No repartition by default: lexing is an embarrassingly-parallel map, so
     scan splits already balance it and a pre-UDF shuffle would move the
@@ -59,22 +67,56 @@ def extract_mentions(files: DataFrame, repartition: bool = False) -> DataFrame:
     cols = ["repo", "path", "commit", "lang", "content_sha256", "content"]
     src = files.select(*cols)
 
+    # One output row per FILE with an array<struct> of mentions; the 61x
+    # row explosion happens JVM-side via inline().  This keeps the
+    # Python->JVM Arrow stream proportional to the input (no per-mention
+    # duplication of repo/path/commit/sha strings) — measured ~2x on the
+    # whole stage.
+    packed = StructType(
+        [f for f in schemas.MENTIONS.fields if f.name not in ("kind", "name", "line")]
+        + [
+            StructField("kinds", ArrayType(StringType(), False), False),
+            StructField("names", ArrayType(StringType(), False), False),
+            StructField("lines", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {c: [] for c in schemas.MENTIONS.fieldNames()}
-            for repo, path, commit, lang, sha, content in zip(
-                pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
-                pdf["content_sha256"], pdf["content"],
-            ):
-                for kind, name, line in lexer.lex(lang, path, content):
-                    out["repo"].append(repo)
-                    out["path"].append(path)
-                    out["commit"].append(commit)
-                    out["lang"].append(lang)
-                    out["content_sha256"].append(sha)
-                    out["kind"].append(kind)
-                    out["name"].append(name)
-                    out["line"].append(line)
-            yield pd.DataFrame(out)
+            kinds, names, lines = [], [], []
+            for lang, path, content in zip(pdf["lang"], pdf["path"], pdf["content"]):
+                rows = lexer.lex(lang, path, content)
+                kinds.append([r[0] for r in rows])
+                names.append([r[1] for r in rows])
+                lines.append([r[2] for r in rows])
+            yield pd.DataFrame(
+                {
+                    "repo": pdf["repo"],
+                    "path": pdf["path"],
+                    "commit": pdf["commit"],
+                    "lang": pdf["lang"],
+                    "content_sha256": pdf["content_sha256"],
+                    "kinds": kinds,
+                    "names": names,
+                    "lines": lines,
+                }
+            )
 
-    return src.mapInPandas(run, schema=schemas.MENTIONS)
+    return src.mapInPandas(run, schema=packed)
+
+
+def explode_mentions(packed: DataFrame) -> DataFrame:
+    """Packed per-file mentions -> logical MENTIONS view (JVM-side inline)."""
+    return packed.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content_sha256",
+        F.inline(F.arrays_zip("kinds", "names", "lines")),
+    ).withColumnsRenamed({"kinds": "kind", "names": "name", "lines": "line"})
+
+
+def extract_mentions(files: DataFrame, repartition: bool = False) -> DataFrame:
+    """files -> MENTIONS (exploded view; see extract_mentions_packed)."""
+    return explode_mentions(extract_mentions_packed(files, repartition=repartition))

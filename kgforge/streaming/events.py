@@ -57,6 +57,47 @@ def hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user gap-based session counting (the stateful twin of the batch
+    ``event_sessions`` query in operators/relational.py).
+
+    State = (last event epoch, session count, event count) per user; a gap
+    larger than ``gap_minutes`` opens a new session.  Arrow-batched — the
+    pandas kernel sees each user's events as DataFrame chunks.
+    """
+    import pandas as pd  # noqa: F401 (kernel-side import kept explicit)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_secs = gap_minutes * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        import pandas as pd
+
+        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        for t in ts.astype("int64").to_numpy() / 1e9:
+            if last_ts is None or t - last_ts > gap_secs:
+                n_sessions += 1
+            last_ts = float(t)
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts double, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
     """Drain all available input into an in-memory table and stop —
     the batch-equivalent execution of the streaming plan."""

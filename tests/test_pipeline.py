@@ -13,7 +13,7 @@ from kgforge.pipeline import run_pipeline
 @pytest.fixture(scope="module")
 def pipe(spark, small_files, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("kgrun"))
-    return run_pipeline(spark, small_files, root), root
+    return run_pipeline(spark, small_files, root, audit=True), root
 
 
 def _triples_pdf(df) -> pd.DataFrame:

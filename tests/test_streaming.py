@@ -28,3 +28,40 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     want = batch.toPandas().sort_values(["win_start", "event_type"], ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization == batch window sessionization
+    when the whole input arrives as one micro-batch."""
+    import shutil
+
+    from kgforge.operators.relational import event_sessions
+
+    src_dir = tmp_path / "events_state_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0.parquet")
+
+    stream = se.sessionize_stream(se.read_events_stream(spark, str(src_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from sessions_test")
+        .groupBy("user_id")
+        .agg({"n_sessions": "max", "n_events": "max"})
+        .toPandas()
+        .rename(columns={"max(n_sessions)": "n_sessions", "max(n_events)": "n_events"})
+        .sort_values("user_id", ignore_index=True)
+    )
+    want = (
+        event_sessions(spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)[["user_id", "n_sessions", "n_events"]]
+    )
+    pd.testing.assert_frame_equal(got[["user_id", "n_sessions", "n_events"]], want, check_dtype=False)
