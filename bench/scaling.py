@@ -11,6 +11,14 @@ local[32] run competes with Spark's own shuffle/GC threads and the 32
 Python UDF workers for the same cores, understating true 4x scaling;
 at 4 vs 16 both runs get their nominal cores.  Override with --cores.
 
+Each worker JVM (and its whole Python-worker tree) is pinned to exactly
+its nominal cores with ``taskset -c 0-(n-1)``, and BLAS threading is
+forced to 1 (OMP/OPENBLAS/MKL): otherwise the "N-core" run borrows extra
+physical cores for GC / shuffle-compression / numpy threads, inflating
+its throughput and understating the true N->4N scaling — the sandbox
+analog of "two separate cluster sizes" requires hard core budgets.
+Disable with --no-pin.
+
 Usage:
     python bench/scaling.py --files 100000         # parent: runs both, prints JSON
     python bench/scaling.py --worker 4 IN OUT      # internal per-JVM worker
@@ -69,6 +77,13 @@ def main() -> None:
         "estimate of true cost)",
     )
     ap.add_argument("--worker", type=int, default=0)
+    ap.add_argument(
+        "--no-pin",
+        action="store_true",
+        help="skip taskset CPU pinning of worker JVMs (pinning is the default "
+        "when taskset exists: it enforces the nominal core budget on the "
+        "whole JVM+Python tree, the honest emulation of two cluster sizes)",
+    )
     ap.add_argument("rest", nargs="*")
     args = ap.parse_args()
 
@@ -95,19 +110,34 @@ def main() -> None:
     spark.stop()
 
     lo, hi = (int(c) for c in args.cores.split(","))
+    import shutil as _shutil
+
+    pin = (not args.no_pin) and _shutil.which("taskset") is not None
+    # Single-threaded BLAS in every worker: numpy/Arrow must not multiply
+    # the nominal core budget (on a real cluster each executor core is one
+    # task thread; BLAS oversubscription is a local-mode artifact).
+    thread_env = {
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+        "ARROW_NUM_THREADS": "1",
+    }
     results = {}
     for cpus in (lo, hi):
         best = None
         for rep in range(args.repeats):
             run_root = tempfile.mkdtemp(prefix=f"kgscale_run{cpus}_{rep}_", dir=tmp_root)
             log_path = f"{run_root}.log"
+            cmd = [sys.executable, __file__, "--worker", str(cpus), input_dir, run_root]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             with open(log_path, "w") as log:
                 subprocess.run(
-                    [sys.executable, __file__, "--worker", str(cpus), input_dir, run_root],
+                    cmd,
                     stdout=log,
                     stderr=subprocess.STDOUT,
                     check=True,
-                    env={**os.environ},
+                    env={**os.environ, **thread_env},
                 )
             with open(log_path) as log:
                 line = [
@@ -130,6 +160,7 @@ def main() -> None:
         f"local{lo}_files_per_sec": round(args.files / t_lo, 2),
         f"local{hi}_files_per_sec": round(args.files / t_hi, 2),
         "cores": [lo, hi],
+        "pinned": pin,
         f"speedup_{lo}_to_{hi}": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,

@@ -98,19 +98,22 @@ def twin_triples(files: pd.DataFrame, threshold: float = constants.LINK_THRESHOL
     m["obj_raw"] = m["kind"].map(KIND_TO_ETYPE) + ":" + m["name"]
     m["obj"] = m["obj_raw"].map(lambda e: canon.get(e, e))
     m["subj"] = m["repo"] + ":" + m["path"]
-    m["evidence"] = m["repo"] + ":" + m["path"] + ":" + m["line"].astype(str)
     m["score"] = 1.0
-    lexical = m[["subj", "pred", "obj", "evidence", "score"]]
+    # evidence carries the NUMERIC-min line (first occurrence), matching the
+    # pipeline's hash-aggregate-friendly min(line) — not a lexicographic
+    # string min (where "12" < "3").
+    lexical = (
+        m.groupby(["subj", "pred", "obj"], as_index=False)
+        .agg(_line=("line", "min"), score=("score", "max"))
+    )
+    lexical["evidence"] = lexical["subj"] + ":" + lexical["_line"].astype(str)
+    lexical = lexical[["subj", "pred", "obj", "evidence", "score"]]
 
     same = pd.DataFrame(
         [(e, constants.PRED_SAME_AS, c, "canonicalization", 1.0) for e, c in sorted(canon.items())],
         columns=["subj", "pred", "obj", "evidence", "score"],
     )
-    allt = pd.concat([lexical, same], ignore_index=True)
-    return (
-        allt.groupby(["subj", "pred", "obj"], as_index=False)
-        .agg(evidence=("evidence", "min"), score=("score", "max"))
-    )
+    return pd.concat([lexical, same], ignore_index=True)
 
 
 def precision_recall(got: pd.DataFrame, want: pd.DataFrame) -> tuple[float, float]:

