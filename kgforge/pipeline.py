@@ -59,7 +59,12 @@ def run_pipeline(
     sha_ok = materialize.sha_audit(files_hashed, men) if audit else None
     metrics_parts.append(
         materialize.stage_metrics(
-            "mentions", files.select("repo"), men, int((time.time() - t1) * 1000), sha_ok=sha_ok
+            "mentions",
+            files.select("repo"),
+            men_packed.select("repo", F.size("kinds").alias("_n")),
+            int((time.time() - t1) * 1000),
+            sha_ok=sha_ok,
+            out_weight="_n",
         )
     )
 
@@ -86,9 +91,10 @@ def run_pipeline(
     metrics_parts.append(
         materialize.stage_metrics(
             "triples",
-            men,
+            men_packed.select("repo", F.size("kinds").alias("_n")),
             tri.withColumn("repo", F.split_part(F.col("subj"), F.lit(":"), F.lit(1))),
             int((time.time() - t5) * 1000),
+            in_weight="_n",
         )
     )
 

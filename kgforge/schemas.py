@@ -45,6 +45,11 @@ MENTIONS = StructType(
         StructField("kind", StringType(), False),   # module|import|class|function|call
         StructField("name", StringType(), False),
         StructField("line", IntegerType(), False),
+        # True on the FIRST occurrence of (kind, name) within the file.
+        # Lexical triples are per-file facts, so filtering on this flag
+        # replaces a groupBy(subj, pred, obj) shuffle with a map-side
+        # filter — dedup that never crosses files shouldn't pay a shuffle.
+        StructField("is_first", BooleanType(), False),
     ]
 )
 

@@ -43,6 +43,11 @@ def _etype_col():
 
 def entities_from_mentions(mentions: DataFrame) -> DataFrame:
     """Distinct (etype, name) with stable entity_id = '<etype>:<name>'."""
+    if "is_first" in mentions.columns:
+        # per-file pre-dedup (computed by the lexer) — shrinks the input to
+        # the global distinct by the per-file duplication factor before the
+        # shuffle, a free map-side combine.
+        mentions = mentions.where(F.col("is_first"))
     return (
         mentions.select(_etype_col().alias("kind"), F.col("name"))
         .distinct()

@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import constants
-from .canonical import canonicalize
 
 _KIND_PRED = {
     "import": constants.PRED_IMPORTS,
@@ -43,7 +42,18 @@ def triples_from_mentions(
     pred_map = F.create_map(*[F.lit(x) for kv in _KIND_PRED.items() for x in kv])
     etype_map = F.create_map(*[F.lit(x) for kv in _KIND_ETYPE.items() for x in kv])
 
-    m = mentions.where(F.col("kind") != "module")
+    # The triple key (subj, pred, obj) has subj == the file itself, so
+    # first-occurrence dedup NEVER crosses files: the is_first flag the
+    # lexer computed per file replaces a groupBy(subj, pred, obj) shuffle
+    # of every mention (at 10^12 files that shuffle moves the whole mention
+    # set once).  Post-filter, duplicates can only REAPPEAR via
+    # canonicalization — two raw names collapsing onto one canonical
+    # entity, or a raw name colliding with a canonical id — and both cases
+    # touch only mentions of LINKED entities, a broadcast-sized set.  So:
+    # the bulk of the corpus flows scan -> filter -> project -> write with
+    # zero shuffles, and only the linked-mention sliver pays a (numeric,
+    # hash-aggregate) dedup.
+    m = mentions.where((F.col("kind") != "module") & F.col("is_first"))
     lexical = m.select(
         F.concat_ws(":", "repo", "path").alias("subj"),
         pred_map[F.col("kind")].alias("pred"),
@@ -51,30 +61,34 @@ def triples_from_mentions(
         F.col("line"),
         F.lit(1.0).alias("score"),
     )
-    lexical = canonicalize(lexical, mapping, "obj", broadcast=broadcast_map)
 
-    # Aggregate on the numeric line, not the evidence STRING: a string
-    # min/max has a var-length aggregation buffer, which knocks Spark from
-    # HashAggregate down to SortAggregate (full sort of every mention row,
-    # map- and reduce-side — measured 3-10x wall on this stage).  For
-    # lexical triples evidence == '<subj>:<line>', so min(evidence) ==
-    # subj ':' min(line); rebuild the string AFTER the hash,
-    # map-side-combining aggregate.
-    lexical = (
-        lexical.groupBy("subj", "pred", "obj")
-        .agg(F.min("line").alias("_line"), F.max("score").alias("score"))
-        .select(
-            "subj",
-            "pred",
-            "obj",
-            F.concat_ws(":", "subj", F.col("_line").cast("string")).alias("evidence"),
-            "score",
-        )
+    bc = F.broadcast if broadcast_map else (lambda df: df)
+    as_obj = mapping.withColumnRenamed("entity_id", "obj")
+    canon_ids = mapping.select(F.col("canonical_id").alias("obj")).distinct()
+
+    j = lexical.join(bc(as_obj), "obj", "left")
+    mapped = j.where(F.col("canonical_id").isNotNull()).select(
+        "subj", "pred", F.col("canonical_id").alias("obj"), "line", "score"
+    )
+    unmapped = j.where(F.col("canonical_id").isNull()).drop("canonical_id")
+    # unmapped rows whose obj IS some component's canonical id can collide
+    # with a mapped row of the same file; everything else is unique already.
+    collide = unmapped.join(bc(canon_ids), "obj", "semi")
+    safe = unmapped.join(bc(canon_ids), "obj", "left_anti")
+
+    deduped = (
+        mapped.unionByName(collide)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min("line").alias("line"), F.max("score").alias("score"))
+    )
+    lexical = safe.unionByName(deduped).select(
+        "subj",
+        "pred",
+        "obj",
+        F.concat_ws(":", "subj", F.col("line").cast("string")).alias("evidence"),
+        "score",
     )
 
-    # same_as rows are already unique per (subj, pred, obj) — the mapping
-    # has one row per entity_id — so union AFTER the aggregate; the string
-    # evidence column never enters an agg buffer.
     same_as = mapping.select(
         F.col("entity_id").alias("subj"),
         F.lit(constants.PRED_SAME_AS).alias("pred"),
@@ -83,6 +97,8 @@ def triples_from_mentions(
         F.lit(1.0).alias("score"),
     )
 
+    # Both sides are already unique per (subj, pred, obj): lexical via the
+    # per-file is_first filter, same_as via one-mapping-row-per-entity.
     return lexical.unionByName(same_as)
 
 
@@ -117,12 +133,28 @@ def stage_metrics(
     wall_ms: int,
     partition_col: str = "repo",
     sha_ok: DataFrame | None = None,
+    in_weight: str | None = None,
+    out_weight: str | None = None,
 ) -> DataFrame:
     """Per-partition lineage rows (north_rule).  Pass ``sha_ok`` (from
     ``sha_audit``) to fold invariant verdicts in; rows_in/rows_out counts
-    read only the partition column (column-pruned scans)."""
-    in_counts = rows_in.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows_in"))
-    out_counts = rows_out.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows_out"))
+    read only the partition column (column-pruned scans).
+
+    ``in_weight``/``out_weight``: sum this column instead of counting rows —
+    lets callers hand in the PACKED per-file mention table (rows = sum of
+    array sizes) so the lineage count never pays the 60x row explosion."""
+    if in_weight is not None:
+        in_counts = rows_in.groupBy(partition_col).agg(
+            F.sum(in_weight).cast("long").alias("rows_in")
+        )
+    else:
+        in_counts = rows_in.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows_in"))
+    if out_weight is not None:
+        out_counts = rows_out.groupBy(partition_col).agg(
+            F.sum(out_weight).cast("long").alias("rows_out")
+        )
+    else:
+        out_counts = rows_out.groupBy(partition_col).agg(F.count(F.lit(1)).alias("rows_out"))
     joined = in_counts.join(out_counts, partition_col, "full")
     if sha_ok is not None:
         joined = joined.join(sha_ok, partition_col, "left")

@@ -22,7 +22,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .. import constants, lexer, schemas
 
@@ -73,22 +80,33 @@ def extract_mentions_packed(files: DataFrame, repartition: bool = False) -> Data
     # duplication of repo/path/commit/sha strings) — measured ~2x on the
     # whole stage.
     packed = StructType(
-        [f for f in schemas.MENTIONS.fields if f.name not in ("kind", "name", "line")]
+        [f for f in schemas.MENTIONS.fields if f.name not in ("kind", "name", "line", "is_first")]
         + [
             StructField("kinds", ArrayType(StringType(), False), False),
             StructField("names", ArrayType(StringType(), False), False),
             StructField("lines", ArrayType(IntegerType(), False), False),
+            StructField("firsts", ArrayType(BooleanType(), False), False),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            kinds, names, lines = [], [], []
+            kinds, names, lines, firsts = [], [], [], []
             for lang, path, content in zip(pdf["lang"], pdf["path"], pdf["content"]):
                 rows = lexer.lex(lang, path, content)
                 kinds.append([r[0] for r in rows])
                 names.append([r[1] for r in rows])
                 lines.append([r[2] for r in rows])
+                # first occurrence of (kind, name) in this file — the lexer
+                # emits in line order, so flagging here is one dict pass and
+                # lets the triples stage skip its dedup shuffle entirely.
+                seen: set[tuple[str, str]] = set()
+                fl = []
+                for r in rows:
+                    k = (r[0], r[1])
+                    fl.append(k not in seen)
+                    seen.add(k)
+                firsts.append(fl)
             yield pd.DataFrame(
                 {
                     "repo": pdf["repo"],
@@ -99,6 +117,7 @@ def extract_mentions_packed(files: DataFrame, repartition: bool = False) -> Data
                     "kinds": kinds,
                     "names": names,
                     "lines": lines,
+                    "firsts": firsts,
                 }
             )
 
@@ -113,8 +132,10 @@ def explode_mentions(packed: DataFrame) -> DataFrame:
         "commit",
         "lang",
         "content_sha256",
-        F.inline(F.arrays_zip("kinds", "names", "lines")),
-    ).withColumnsRenamed({"kinds": "kind", "names": "name", "lines": "line"})
+        F.inline(F.arrays_zip("kinds", "names", "lines", "firsts")),
+    ).withColumnsRenamed(
+        {"kinds": "kind", "names": "name", "lines": "line", "firsts": "is_first"}
+    )
 
 
 def extract_mentions(files: DataFrame, repartition: bool = False) -> DataFrame:
