@@ -113,6 +113,15 @@ def connected_components(
     probe = edges.limit(local_threshold + 1).collect() if local_threshold > 0 else []
     if local_threshold > 0 and len(probe) <= local_threshold:
         return _local_components(links.sparkSession, probe)
+
+    # NB: every round's groupBy-min runs on STRING node ids, which means
+    # SortAggregate (var-length agg buffers disable hash aggregation).
+    # That is a conscious trade-off: the representative must be the
+    # lexicographic-min node id (deterministic, shared with the pandas
+    # twin and the driver-side fast path), and no order-preserving
+    # string->long encoding exists that doesn't itself need a global sort
+    # or a serial rank assignment.  Sort-based aggregation also spills
+    # gracefully, and the edge set shrinks every round.
     edges = edges.localCheckpoint()
     prev = _fingerprint(edges)
     for _ in range(max_iter):

@@ -31,13 +31,24 @@ _KIND_ETYPE = {"import": "module", "class": "class", "function": "function", "ca
 
 
 def triples_from_mentions(
-    mentions: DataFrame, mapping: DataFrame, broadcast_map: bool = True
+    mentions: DataFrame,
+    mapping: DataFrame,
+    broadcast_map: bool = True,
+    prefilter_limit: int = 100_000,
 ) -> DataFrame:
     """MENTIONS + ENTITIES -> TRIPLES.
 
     subj = '<repo>:<path>' (the file node), obj = canonicalized typed
     entity id, evidence = '<repo>:<path>:<line>', score = 1.0 for lexical
     triples.  same_as triples come straight from the mapping.
+
+    When the mapping fits under ``prefilter_limit`` rows (it is
+    broadcast-sized by contract), the collision dictionary is collected and
+    rebuilt as one driver-local relation — the distinct-union subquery
+    would otherwise be planned (and its shuffle run) once per join leg.
+    (A packed-level ``arrays_overlap`` file pre-filter for the dedup leg
+    was measured and REJECTED: re-decoding the heavy ``names`` array
+    column for every file costs as much as the explode it avoids.)
     """
     pred_map = F.create_map(*[F.lit(x) for kv in _KIND_PRED.items() for x in kv])
     etype_map = F.create_map(*[F.lit(x) for kv in _KIND_ETYPE.items() for x in kv])
@@ -63,25 +74,53 @@ def triples_from_mentions(
     )
 
     bc = F.broadcast if broadcast_map else (lambda df: df)
-    as_obj = mapping.withColumnRenamed("entity_id", "obj")
-    canon_ids = mapping.select(F.col("canonical_id").alias("obj")).distinct()
+    # One dictionary covering every obj that can participate in a
+    # post-canonicalization collision: linked names (-> their canonical id)
+    # plus the canonical ids themselves (-> identity).  A single broadcast
+    # left join then yields both the final obj and the needs-dedup flag,
+    # so the plan has exactly two legs over the mention scan: the untouched
+    # bulk (no shuffle) and the linked sliver (tiny hash aggregate).
+    # One bounded probe of the (broadcast-sized by contract) mapping: if it
+    # fits, build the collision dictionary driver-side — one tiny local
+    # relation instead of a twice-planned distinct-union subquery.
+    probe = mapping.limit(prefilter_limit + 1).collect() if broadcast_map else None
+    small = probe is not None and len(probe) <= prefilter_limit
 
-    j = lexical.join(bc(as_obj), "obj", "left")
-    mapped = j.where(F.col("canonical_id").isNotNull()).select(
-        "subj", "pred", F.col("canonical_id").alias("obj"), "line", "score"
-    )
-    unmapped = j.where(F.col("canonical_id").isNull()).drop("canonical_id")
-    # unmapped rows whose obj IS some component's canonical id can collide
-    # with a mapped row of the same file; everything else is unique already.
-    collide = unmapped.join(bc(canon_ids), "obj", "semi")
-    safe = unmapped.join(bc(canon_ids), "obj", "left_anti")
+    if small:
+        pairs = sorted(
+            {(r["entity_id"], r["canonical_id"]) for r in probe}
+            | {(r["canonical_id"], r["canonical_id"]) for r in probe}
+        )
+        spark = mentions.sparkSession
+        if not pairs:
+            # empty mapping: nothing links, nothing can collide
+            return lexical.select(
+                "subj",
+                "pred",
+                "obj",
+                F.concat_ws(":", "subj", F.col("line").cast("string")).alias("evidence"),
+                "score",
+            )
+        hot_dict = spark.createDataFrame(pairs, "obj string, _canon string")
+    else:
+        hot_dict = (
+            mapping.select(F.col("entity_id").alias("obj"), F.col("canonical_id").alias("_canon"))
+            .unionByName(
+                mapping.select(
+                    F.col("canonical_id").alias("obj"), F.col("canonical_id").alias("_canon")
+                )
+            )
+            .distinct()
+        )
 
-    deduped = (
-        mapped.unionByName(collide)
-        .groupBy("subj", "pred", "obj")
-        .agg(F.min("line").alias("line"), F.max("score").alias("score"))
+    j = lexical.join(bc(hot_dict), "obj", "left")
+    safe = j.where(F.col("_canon").isNull()).drop("_canon")
+    hot_rows = j.where(F.col("_canon").isNotNull())
+
+    deduped = hot_rows.groupBy("subj", "pred", F.col("_canon").alias("obj")).agg(
+        F.min("line").alias("line"), F.max("score").alias("score")
     )
-    lexical = safe.unionByName(deduped).select(
+    lexical = safe.unionByName(deduped.select(safe.columns)).select(
         "subj",
         "pred",
         "obj",

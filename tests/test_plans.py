@@ -99,3 +99,24 @@ def test_events_hourly_partial_agg(plans):
     # nodes around a single Exchange
     p = plans("events_hourly")
     assert p.count("HashAggregate") >= 2
+
+
+def test_triples_bulk_path_has_no_shuffle(spark, small_files):
+    """The triples stage's bulk leg must be shuffle-free: per-file
+    first-occurrence dedup happens in the lexer (is_first), so only the
+    linked-entity sliver may aggregate.  No SortAggregate anywhere (string
+    min/max agg buffers would force full sorts of the mention set)."""
+    from kgforge.stages import canonical, embed, link, materialize, mentions
+
+    men = mentions.extract_mentions(small_files)
+    links = link.candidate_links(embed.embed_mentions(men))
+    ents = canonical.connected_components(links)
+    p = plan_of(materialize.triples_from_mentions(men, ents))
+    assert "SortAggregate" not in p
+    assert "BroadcastHashJoin" in p  # canonical dictionary is broadcast
+    # exactly the dedup sliver may exchange: the safe leg reaches the union
+    # without any Exchange node above its scan.  Count exchanges bounded:
+    # one hash-agg shuffle (+ its broadcast exchanges, which are not
+    # data-shuffles).
+    shuffles = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) <= 1, shuffles
