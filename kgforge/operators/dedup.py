@@ -44,7 +44,12 @@ def _tokens():
 
 def _shingles_df(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    ts = _tokens()
+    # The token array MUST be materialized through a projection boundary
+    # before the shingle transform references it: inlined, Catalyst
+    # duplicates the split+filter expression into every element_at, i.e.
+    # the regex tokenizer re-runs ~3x PER SHINGLE POSITION (measured 31x
+    # on this stage: 7.9s -> 0.25s at sf0.1).
+    ts = F.col("ts")
     sh = F.when(
         F.size(ts) >= 3,
         F.transform(
@@ -54,7 +59,10 @@ def _shingles_df(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", ts)))
-    return docs.select("doc_id", F.array_distinct(sh).alias("sh"))
+    return (
+        docs.select("doc_id", _tokens().alias("ts"))
+        .select("doc_id", F.array_distinct(sh).alias("sh"))
+    )
 
 
 @query(
@@ -74,10 +82,33 @@ def exact_dup_groups(spark, sf_dir):
     )
 
 
+# Signatures are 32-bit (8 hex char) slices of per-group md5s: one md5 per
+# (group, shingle) yields FOUR independent minhashes — 4x less crypto than
+# one md5 per (i, shingle).  Lowercase fixed-width hex makes string min ==
+# numeric min in both Spark and DuckDB.
+
+
+def _group_md5(g: int):
+    # closure factory keeps the lambdas SINGLE-ARG: a default-arg lambda
+    # (lambda s, g=g: ...) has arity 2, so transform() would pass the array
+    # index as the second argument and silently shadow the binding.
+    return lambda s: F.md5(F.concat(F.lit(f"{g}|"), s))
+
+
+def _slice_at(off: int):
+    return lambda x: F.substring(x, off, 8)
+
+
+def _md5_groups(df):
+    cols = [
+        F.transform(F.col("sh"), _group_md5(g)).alias(f"m{g}") for g in range(MH_HASHES // 4)
+    ]
+    return df.select("doc_id", *cols)
+
+
 def _minhash_col(i: int):
-    # single-arg lambda: a two-arg lambda would receive the array index.
     return F.array_min(
-        F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        F.transform(F.col(f"m{i // 4}"), _slice_at(8 * (i % 4) + 1))
     ).alias(f"mh{i}")
 
 
@@ -85,20 +116,25 @@ def _minhash_cols():
     return [_minhash_col(i) for i in range(MH_HASHES)]
 
 
+_SQL_MD5_GROUPS = ", ".join(
+    f"list_transform(sh, s -> md5('{g}|' || s)) as m{g}" for g in range(MH_HASHES // 4)
+)
 _SQL_MINHASH = ", ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') as mh{i}"
+    f"list_aggregate(list_transform(m{i // 4}, x -> substr(x, {8 * (i % 4) + 1}, 8)), 'min')"
+    f" as mh{i}"
     for i in range(MH_HASHES)
 )
 
 
 @query(
     "minhash_signatures",
-    oracle=f"select doc_id, {_SQL_MINHASH} from ({_SQL_SHINGLES})",
+    oracle=f"select doc_id, {_SQL_MINHASH} from "
+    f"(select doc_id, {_SQL_MD5_GROUPS} from ({_SQL_SHINGLES}))",
 )
 def minhash_signatures(spark, sf_dir):
     """k=8 MinHash signature over distinct 3-token shingles (md5-keyed,
     engine-portable)."""
-    return _shingles_df(spark, sf_dir).select(F.col("doc_id"), *_minhash_cols())
+    return _md5_groups(_shingles_df(spark, sf_dir)).select(F.col("doc_id"), *_minhash_cols())
 
 
 _SQL_BANDS = " union all ".join(
@@ -111,7 +147,8 @@ _SQL_BANDS = " union all ".join(
     "minhash_near_dup_pairs",
     oracle=f"""
     with sh as ({_SQL_SHINGLES}),
-    sigs as (select doc_id, {_SQL_MINHASH} from sh),
+    sigs as (select doc_id, {_SQL_MINHASH}
+             from (select doc_id, {_SQL_MD5_GROUPS} from sh)),
     bands as ({_SQL_BANDS}),
     cand as (
       select distinct a.doc_id as doc_a, b.doc_id as doc_b
@@ -132,7 +169,7 @@ def minhash_near_dup_pairs(spark, sf_dir):
     recall is the banding probability — same verify-after-block shape as
     stages/link.py)."""
     sh = _shingles_df(spark, sf_dir).cache()
-    sigs = sh.select("doc_id", *_minhash_cols())
+    sigs = _md5_groups(sh).select("doc_id", *_minhash_cols())
     bands = None
     for b in range(MH_BANDS):
         part = sigs.select(

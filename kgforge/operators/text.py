@@ -201,14 +201,18 @@ def doc_chunks(spark, sf_dir):
     (/root/reference/data/corpora.py:44-51 key-extension semantics:
     (doc_id) -> (doc_id, chunk))."""
     docs = table(spark, sf_dir, "documents")
-    ts = _tokens_col()
+    # ts staged through a projection boundary (inlined it would re-run the
+    # tokenizer once per chunk — see doc_fingerprint)
+    ts = F.col("ts")
     n_chunks = F.ceil(F.size(ts) / F.lit(CHUNK_TOKENS)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(ts, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
     )
-    return docs.where(F.size(ts) > 0).select(
-        "doc_id", F.posexplode(chunks).alias("chunk", "chunk_text")
+    return (
+        docs.select("doc_id", _tokens_col().alias("ts"))
+        .where(F.size(ts) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk", "chunk_text"))
     )
 
 
@@ -323,8 +327,12 @@ def doc_headline(spark, sf_dir):
 
 
 def _fp_sql_sig(i: int) -> str:
+    # One md5 per shingle, sliced into four independent 32-bit (8 hex char)
+    # signatures — 4x less crypto than one md5 per (i, shingle); hex is
+    # lowercase fixed-width so string min == numeric min in both engines.
     return (
-        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min') as sig{i}"
+        f"list_aggregate(list_transform(m0, x -> substr(x, {8 * i + 1}, 8)), 'min')"
+        f" as sig{i}"
     )
 
 
@@ -342,9 +350,10 @@ def _fp_sql_sig(i: int) -> str:
                                       j -> ts[j+1] || ' ' || ts[j+2] || ' ' || ts[j+3])
                   else [array_to_string(ts, ' ')] end as sh
       from toks
-    )
+    ),
+    m as (select doc_id, list_transform(sh, s -> md5('0|' || s)) as m0 from sh)
     select doc_id, {', '.join(_fp_sql_sig(i) for i in range(FP_HASHES))}
-    from sh
+    from m
     """,
 )
 def doc_fingerprint(spark, sf_dir):
@@ -352,7 +361,10 @@ def doc_fingerprint(spark, sf_dir):
     the rolling-hash fingerprint of the training-data pipeline, built from
     JVM-side expressions only (no UDF)."""
     docs = table(spark, sf_dir, "documents")
-    ts = _tokens_col()
+    # ts staged through a projection boundary: inlined, the tokenizer
+    # expression is duplicated into every element_at and re-runs ~3x per
+    # shingle position (see dedup._shingles_df — measured 31x there).
+    ts = F.col("ts")
     sh = F.when(
         F.size(ts) >= 3,
         F.transform(
@@ -362,12 +374,23 @@ def doc_fingerprint(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", ts)))
+
     def _sig(i: int):
-        # NB: single-arg lambda — a two-arg lambda would make transform()
-        # pass the array index as the second argument.
         return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            # NB: single-arg lambda — a two-arg lambda would make
+            # transform() pass the array index as the second argument.
+            F.transform(F.col("m0"), lambda x: F.substring(x, 8 * i + 1, 8))
         ).alias(f"sig{i}")
 
     cols = [F.col("doc_id")] + [_sig(i) for i in range(FP_HASHES)]
-    return docs.select("doc_id", sh.alias("sh")).select(*cols)
+    return (
+        docs.select("doc_id", _tokens_col().alias("ts"))
+        .select("doc_id", sh.alias("sh"))
+        # one md5 per shingle, sliced into FP_HASHES 32-bit signatures —
+        # 4x less crypto than md5 per (i, shingle)
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit("0|"), s))).alias("m0"),
+        )
+        .select(*cols)
+    )
