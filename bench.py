@@ -72,6 +72,16 @@ def main() -> None:
     ops.load_all()
     spark = build_session("kgforge-bench", master=f"local[{cpus}]")
 
+    # JVM/codegen warm-up (one small scan+agg+join), excluded from timings:
+    # the first query otherwise absorbs all JIT/classloading cost and the
+    # per-query numbers stop being comparable.
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.join(warm.selectExpr("n_nationkey as k"), warm.n_nationkey == F.col("k")).groupBy(
+        "n_regionkey"
+    ).count().write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
     for name in BENCH_QUERIES:
