@@ -15,7 +15,6 @@ entity linking on content keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import ROUND, query, table
@@ -269,25 +268,24 @@ def embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup: label blocks bound the self-join (the
     blocking key stands in for an LSH bucket), global top-20 pairs."""
     e = table(spark, sf_dir, "embeddings")
-    x = e.select(F.col("label").alias("lbl"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    y = e.select(F.col("label").alias("lbl"), F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with(
-            F.transform("ea", lambda v: v.cast("double")),
-            F.transform("eb", lambda v: v.cast("double")),
-            lambda p, q: p * q,
-        ),
-        F.lit(0.0),
-        lambda s, v: s + v,
+    # norms and double-casts are per-VECTOR properties — compute them once
+    # per row before the self-join, not once per candidate pair.
+    ed = e.select(
+        F.col("label").alias("lbl"),
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("vec"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda s, v: s + v * v))
     )
-    na = F.sqrt(F.aggregate(F.transform("ea", lambda v: v.cast("double")), F.lit(0.0), lambda s, v: s + v * v))
-    nb = F.sqrt(F.aggregate(F.transform("eb", lambda v: v.cast("double")), F.lit(0.0), lambda s, v: s + v * v))
+    x = ed.select("lbl", F.col("vec_id").alias("a"), F.col("vec").alias("ea"), F.col("norm").alias("na"))
+    y = ed.select("lbl", F.col("vec_id").alias("b"), F.col("vec").alias("eb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v)
     pairs = (
         x.join(y, "lbl")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(dot / (na * nb), ROUND).alias("score"))
+        .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), ROUND).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
-    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= NEARDUP_TOPK).select(
-        "a", "b", "score"
-    )
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (distributed
+    # partial top-k per partition); an unpartitioned row_number window
+    # would funnel EVERY candidate pair through a single task.
+    return pairs.orderBy(F.desc("score"), F.asc("a"), F.asc("b")).limit(NEARDUP_TOPK)
