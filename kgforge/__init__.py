@@ -8,7 +8,9 @@ Re-expresses the capabilities of jataware/semantic-search (reference at
       -> embeddings (hashed n-gram mean-pool, pandas_udf)    stages/embed.py
       -> links      (sign-LSH blocking + cosine self-join)   stages/link.py
       -> entities   (large-star/small-star components)       stages/canonical.py
-      -> triples    (subj, pred, obj, evidence, score)       stages/materialize.py
+      -> triples    (subj, pred, obj, line, score)            stages/materialize.py
+                    (line = normalized first-occurrence evidence; the
+                     '<subj>:<line>' display string is materialize.with_evidence)
 
 plus a general operator library (operators/) covering the reference's full
 operator inventory (SURVEY.md §2): tf-idf search, top-k windows, canonical

@@ -44,17 +44,36 @@ class CheckpointManager:
         fn,
         partition_by: list[str] | None = None,
         force: bool = False,
+        schema=None,
     ) -> DataFrame:
         """Return the stage table, computing it via ``fn() -> DataFrame`` only
-        if absent (or ``force``)."""
+        if absent (or ``force``).
+
+        ``schema`` (a StructType) guards resume across format changes: a
+        checkpoint written by an older code version whose columns/types no
+        longer match is recomputed instead of silently resumed (ADVICE.md:
+        round 1 added the packed 'firsts' array and replaced the triples
+        'evidence' string with an int 'line'; resuming an old run_root
+        either crashed downstream or silently served the old schema)."""
         loc = self.location(stage)
         if not force and self.exists(stage):
-            return catalog.read_table(self.spark, loc)
+            df = catalog.read_table(self.spark, loc)
+            if schema is None or self._schema_ok(df, schema):
+                return df
         t0 = time.time()
         df = fn()
         catalog.write_table(df, loc, partition_by=partition_by)
         self._record(stage, time.time() - t0)
         return catalog.read_table(self.spark, loc)
+
+    @staticmethod
+    def _schema_ok(df: DataFrame, schema) -> bool:
+        """Name->type equality, order- and nullability-insensitive (a
+        partitioned write moves partition columns to the end; parquet read
+        relaxes nullability)."""
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in schema.fields}
+        return got == want
 
     # ------------------------------------------------------------ manifest
     def _manifest_path(self) -> str:

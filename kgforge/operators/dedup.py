@@ -24,6 +24,12 @@ MH_BANDS = 4          # bands of 2 minhashes each
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 NEARDUP_TOPK = 20
+# Safety valve for the label-block self-join: a hot label with B members
+# yields B^2/2 candidate pairs, so blocks above this bound are skipped
+# (same oversized-bucket anti-join as the pipeline linker,
+# kgforge/stages/link.py:82-84).  10k^2/2 = 5e7 pairs is the largest
+# single-block join a task should ever absorb.
+NEARDUP_MAX_BLOCK = 10_000
 
 _SQL_SHINGLES = r"""
 select doc_id,
@@ -249,6 +255,10 @@ def simhash(spark, sf_dir):
 @query(
     "embedding_near_dups",
     oracle=f"""
+    with ok as (
+      select label from embeddings group by label having count(*) <= {NEARDUP_MAX_BLOCK}
+    ),
+    e as (select * from embeddings where label in (select label from ok))
     select a, b, score from (
       select x.vec_id as a, y.vec_id as b,
              round(list_cosine_similarity(list_transform(x.embedding, v -> v::DOUBLE),
@@ -259,14 +269,16 @@ def simhash(spark, sf_dir):
                                                      list_transform(y.embedding, v -> v::DOUBLE)),
                               {ROUND}) desc, x.vec_id, y.vec_id
              ) as rn
-      from embeddings x join embeddings y
+      from e x join e y
         on x.label = y.label and x.vec_id < y.vec_id
     ) where rn <= {NEARDUP_TOPK}
     """,
 )
 def embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup: label blocks bound the self-join (the
-    blocking key stands in for an LSH bucket), global top-20 pairs."""
+    blocking key stands in for an LSH bucket), global top-20 pairs.
+    Oversized blocks are dropped via a broadcast anti-join (NEARDUP_MAX_BLOCK)
+    so a hot label can never go quadratic at scale."""
     e = table(spark, sf_dir, "embeddings")
     # norms and double-casts are per-VECTOR properties — compute them once
     # per row before the self-join, not once per candidate pair.
@@ -277,6 +289,12 @@ def embedding_near_dups(spark, sf_dir):
     ).withColumn(
         "norm", F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda s, v: s + v * v))
     )
+    # the valve: block sizes are a tiny aggregate; the oversized list is
+    # broadcast and anti-joined before any pair is formed.
+    oversized = (
+        ed.groupBy("lbl").count().where(F.col("count") > NEARDUP_MAX_BLOCK).select("lbl")
+    )
+    ed = ed.join(F.broadcast(oversized), "lbl", "left_anti")
     x = ed.select("lbl", F.col("vec_id").alias("a"), F.col("vec").alias("ea"), F.col("norm").alias("na"))
     y = ed.select("lbl", F.col("vec_id").alias("b"), F.col("vec").alias("eb"), F.col("norm").alias("nb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v)

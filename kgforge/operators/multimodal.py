@@ -86,7 +86,12 @@ def extract_features(manifest: DataFrame) -> DataFrame:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 hist, _ = np.histogram(arr, bins=FEATURE_BINS, range=(0, 256))
                 total = max(int(hist.sum()), 1)
-                feats.append([round(float(v) / total, 6) for v in hist])
+                # round HALF-AWAY (like Spark's F.round and DuckDB's round),
+                # not Python's banker's round: byte counts over power-of-two
+                # totals hit exact .xxxxx5 boundaries routinely.
+                feats.append(
+                    [float(np.floor(v / total * 1e6 + 0.5) / 1e6) for v in hist]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -99,12 +104,47 @@ def extract_features(manifest: DataFrame) -> DataFrame:
     return manifest.mapInPandas(run, schema=MM_FEATURES_SCHEMA)
 
 
-@query("mm_features")
+# Oracle: the payload is the UTF-8 encoding of `text`, and the testdata
+# corpus is pure ASCII (verified: octet_length(encode(text)) == length(text)
+# at every SF), so the byte histogram equals a char-class histogram.  Bins
+# are [32j, 32j+32) exactly as np.histogram(bins=8, range=(0, 256)); ASCII
+# (0..127) can only populate bins 0-3, so f4..f7 are literal zeros on both
+# engines.
+_SQL_BIN = [
+    r"[^\x00-\x1f]", r"[^\x20-\x3f]", r"[^\x40-\x5f]", r"[^\x60-\x7f]",
+]
+_SQL_FEATS = ", ".join(
+    f"round(length(regexp_replace(text, '{p}', '', 'g'))::DOUBLE"
+    f" / greatest(octet_length(encode(text)), 1), 6) as f{i}"
+    for i, p in enumerate(_SQL_BIN)
+)
+
+
+@query(
+    "mm_features",
+    oracle=f"""
+    select doc_id,
+           case when lang = 'en' then 'image/png' else 'audio/wav' end as media_type,
+           octet_length(encode(text))::BIGINT as n_bytes,
+           {_SQL_FEATS},
+           0.0 as f4, 0.0 as f5, 0.0 as f6, 0.0 as f7
+    from documents
+    """,
+)
 def mm_features(spark, sf_dir):
-    """Rows-only: binary -> feature vectors via the stubbed decoder.
-    Determinism and batch-shape are pytest-verified (tests/test_multimodal.py)."""
+    """Binary -> feature vectors via the stubbed decoder, flattened to one
+    DOUBLE column per bin for the driver's canonicalizer (round 1 showed a
+    raw array<double> column crashes the harness's pandas sort).  The
+    array-returning ``extract_features`` stays the library API; determinism
+    and batch-shape are pytest-verified (tests/test_multimodal.py)."""
     m = media_manifest(table(spark, sf_dir, "documents"))
-    return extract_features(m)
+    feats = extract_features(m)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_BINS)],
+    )
 
 
 def frame_sample(manifest: DataFrame, every_n: int = 10) -> DataFrame:

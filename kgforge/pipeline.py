@@ -53,6 +53,7 @@ def run_pipeline(
         "mentions",
         lambda: mentions.extract_mentions_packed(files_hashed),
         force=force,
+        schema=mentions.MENTIONS_PACKED,
     )
     men = mentions.explode_mentions(men_packed)
     out["mentions"] = men
@@ -69,15 +70,30 @@ def run_pipeline(
     )
 
     t2 = time.time()
-    emb = ck.get_or_run("entity_embeddings", lambda: embed.embed_mentions(men), force=force)
+    emb = ck.get_or_run(
+        "entity_embeddings",
+        lambda: embed.embed_mentions(men),
+        force=force,
+        schema=schemas.ENTITY_EMBEDDINGS,
+    )
     out["entity_embeddings"] = emb
 
     t3 = time.time()
-    links = ck.get_or_run("candidate_links", lambda: link.candidate_links(emb), force=force)
+    links = ck.get_or_run(
+        "candidate_links",
+        lambda: link.candidate_links(emb),
+        force=force,
+        schema=schemas.CANDIDATE_LINKS,
+    )
     out["candidate_links"] = links
 
     t4 = time.time()
-    ents = ck.get_or_run("entities", lambda: canonical.connected_components(links), force=force)
+    ents = ck.get_or_run(
+        "entities",
+        lambda: canonical.connected_components(links),
+        force=force,
+        schema=schemas.ENTITIES,
+    )
     out["entities"] = ents
 
     t5 = time.time()
@@ -86,6 +102,7 @@ def run_pipeline(
         lambda: materialize.triples_from_mentions(men, ents),
         partition_by=["pred"],
         force=force,
+        schema=schemas.TRIPLES,
     )
     out["triples"] = tri
     metrics_parts.append(
@@ -105,7 +122,7 @@ def run_pipeline(
         return df
 
     t6 = time.time()
-    out["metrics"] = ck.get_or_run("metrics", _metrics, force=force)
+    out["metrics"] = ck.get_or_run("metrics", _metrics, force=force, schema=schemas.METRICS)
     out["wall_secs"] = time.time() - t0  # type: ignore[assignment]
     out["stage_secs"] = {  # type: ignore[assignment]
         "mentions": round(t2 - t1, 2),

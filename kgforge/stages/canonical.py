@@ -107,12 +107,16 @@ def connected_components(
     that is what makes the canonical dictionary broadcast-able (north_rule).
     """
     edges = _dedup(links.select(F.col("a").alias("src"), F.col("b").alias("dst")))
-    # bounded probe: limit(T+1).collect() both decides the path AND, when
-    # small, already holds the full edge set — one job instead of
-    # checkpoint+count+collect.
-    probe = edges.limit(local_threshold + 1).collect() if local_threshold > 0 else []
-    if local_threshold > 0 and len(probe) <= local_threshold:
-        return _local_components(links.sparkSession, probe)
+    # Bounded probe: a limit(T+1).count() decides the path without moving
+    # rows to the driver — when the graph is LARGE this costs one scalar
+    # instead of shipping T rows through the driver on every invocation;
+    # when small, the follow-up collect is a cheap second scan (and in the
+    # pipeline the links table is checkpointed parquet, so the re-scan is
+    # a columnar read, not a recompute).
+    if local_threshold > 0:
+        probe_n = edges.limit(local_threshold + 1).count()
+        if probe_n <= local_threshold:
+            return _local_components(links.sparkSession, edges.collect())
 
     # NB: every round's groupBy-min runs on STRING node ids, which means
     # SortAggregate (var-length agg buffers disable hash aggregation).

@@ -34,6 +34,17 @@ _KIND_PRED = {
 }
 _KIND_ETYPE = {"import": "module", "class": "class", "function": "function", "call": "function"}
 
+# The shuffle-free bulk dedup in triples_from_mentions relies on
+# kind -> (pred, etype) being INJECTIVE: two kinds that mapped to the same
+# (pred, etype) would emit duplicate (subj, pred, obj) rows with no test
+# catching it (ADVICE.md).  Machine-check the invariant at import.
+_kind_images = [( _KIND_PRED[k], _KIND_ETYPE[k]) for k in _KIND_PRED]
+assert len(set(_kind_images)) == len(_kind_images), (
+    "kind->(pred, etype) must be injective for the is_first dedup to be "
+    f"correct; collision in {_kind_images}"
+)
+del _kind_images
+
 
 def triples_from_mentions(
     mentions: DataFrame,

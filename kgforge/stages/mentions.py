@@ -33,6 +33,21 @@ from pyspark.sql.types import (
 
 from .. import constants, lexer, schemas
 
+# Checkpoint-table schema for the packed mention stage (one row per file,
+# parallel kinds/names/lines/firsts arrays).  Module-level so
+# CheckpointManager can validate a resumed table against it — round 1
+# changed this format (added 'firsts') and a pre-change checkpoint would
+# fail arrays_zip on resume (ADVICE.md).
+MENTIONS_PACKED = StructType(
+    [f for f in schemas.MENTIONS.fields if f.name not in ("kind", "name", "line", "is_first")]
+    + [
+        StructField("kinds", ArrayType(StringType(), False), False),
+        StructField("names", ArrayType(StringType(), False), False),
+        StructField("lines", ArrayType(IntegerType(), False), False),
+        StructField("firsts", ArrayType(BooleanType(), False), False),
+    ]
+)
+
 
 def with_content_sha(files: DataFrame) -> DataFrame:
     return files.withColumn("content_sha256", F.sha2(F.col("content"), 256))
@@ -79,15 +94,7 @@ def extract_mentions_packed(files: DataFrame, repartition: bool = False) -> Data
     # Python->JVM Arrow stream proportional to the input (no per-mention
     # duplication of repo/path/commit/sha strings) — measured ~2x on the
     # whole stage.
-    packed = StructType(
-        [f for f in schemas.MENTIONS.fields if f.name not in ("kind", "name", "line", "is_first")]
-        + [
-            StructField("kinds", ArrayType(StringType(), False), False),
-            StructField("names", ArrayType(StringType(), False), False),
-            StructField("lines", ArrayType(IntegerType(), False), False),
-            StructField("firsts", ArrayType(BooleanType(), False), False),
-        ]
-    )
+    packed = MENTIONS_PACKED
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
