@@ -281,34 +281,59 @@ def kg_doc_pair_scores(spark, sf_dir):
     )
 
 
-# ------------------------------------------------- code-pipeline (rows-only)
-_SYNTH_N = 200
+# ---------------------------------------------------------- code-pipeline
+# The real code-corpus pipeline stages (mentions -> links -> components ->
+# triples) over the deterministic synthetic corpus.  The iterative CC stage
+# is not SQL-expressible, so the DuckDB oracles read the EXPECTED stage
+# outputs precomputed by the independent pandas twin
+# (kgforge/oracle/fixtures.py; drift-guarded by tests/test_twin_fixtures.py).
+# This gives the flagship pipeline the same hard row/schema/value-hash
+# driver gate as every SQL query.
+from ..oracle.fixtures import SYNTH_N as _SYNTH_N
+from ..oracle.fixtures import fixture_path as _fixture_path
 
 
 def _synth(spark):
     return synth.synth_files_df(spark, _SYNTH_N)
 
 
-@query("pipeline_mentions")
+def _twin_oracle(stage: str) -> str:
+    return f"select * from read_parquet('{_fixture_path(stage)}')"
+
+
+@query("pipeline_mentions", oracle=_twin_oracle("mentions"))
 def pipeline_mentions(spark, sf_dir):
-    return mentions.extract_mentions(_synth(spark))
+    """Stage 1 over the 200-file synthetic corpus; ``is_first`` is a
+    physical dedup flag (per-file first occurrence), not part of the
+    logical mention set, so the driver-compared projection drops it."""
+    return mentions.extract_mentions(_synth(spark)).drop("is_first")
 
 
-@query("pipeline_links")
+@query("pipeline_links", oracle=_twin_oracle("links"))
 def pipeline_links(spark, sf_dir):
+    """Stage 3 (LSH-blocked linking).  The twin oracle is the EXACT
+    all-pairs linker, so a green row here re-proves LSH recall 1.0 at the
+    link threshold on every driver run.  ``bucket`` is physical lineage
+    (which LSH bucket proposed the pair) — dropped from the comparison."""
     men = mentions.extract_mentions(_synth(spark))
-    return link.candidate_links(embed.embed_mentions(men))
+    links = link.candidate_links(embed.embed_mentions(men))
+    return links.select("a", "b", F.round("score", ROUND).alias("score"))
 
 
-@query("pipeline_entities")
+@query("pipeline_entities", oracle=_twin_oracle("entities"))
 def pipeline_entities(spark, sf_dir):
+    """Stage 4 (distributed connected components) vs the twin's union-find:
+    same non-identity (entity_id -> lexicographic-min canonical) mapping."""
     men = mentions.extract_mentions(_synth(spark))
     links = link.candidate_links(embed.embed_mentions(men))
     return canonical.connected_components(links)
 
 
-@query("pipeline_triples")
+@query("pipeline_triples", oracle=_twin_oracle("triples"))
 def pipeline_triples(spark, sf_dir):
+    """Stage 5: the full materialized triple graph vs the twin's — the
+    north_rule P/R differential, promoted to an exact-equality driver gate
+    (P/R 1.0 at this scale)."""
     men = mentions.extract_mentions(_synth(spark))
     links = link.candidate_links(embed.embed_mentions(men))
     ents = canonical.connected_components(links)

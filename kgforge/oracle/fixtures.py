@@ -1,0 +1,89 @@
+"""Twin-derived oracle fixtures for the four ``pipeline_*`` driver queries.
+
+The KG pipeline's connected-components stage is iterative (not
+SQL-expressible), so its driver oracle cannot be a DuckDB query over the
+input tables.  Instead, the pure-pandas reference twin (oracle/twin.py — the
+independent implementation the P/R gate differentials against,
+/root/reference/experiments/uaz_documents_comparison.py:222-275 pattern)
+computes the EXPECTED output of every stage for the deterministic synthetic
+corpus, and this module materializes those outputs as parquet fixtures that
+the registered DuckDB oracles simply ``read_parquet``.  That converts the
+flagship pipeline from a rows-only driver check into the same hard
+row/schema/value-hash gate every other query gets.
+
+Fixtures are committed under ``<repo>/fixtures/`` and guarded against drift
+by tests/test_twin_fixtures.py, which regenerates them from the twin and
+asserts frame equality (so a constants/lexer change that silently shifts
+pipeline semantics fails the suite until the fixtures are re-generated with
+``python -m kgforge.oracle.fixtures``).
+
+Rounding: scores are rounded HALF-AWAY at registry.ROUND decimals, matching
+Spark's F.round and DuckDB's round (Python's built-in round is banker's and
+disagrees on exact .xxxx5 boundaries).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from .. import synth
+from ..operators.registry import ROUND
+from . import twin
+
+# The corpus the pipeline_* queries run on (kgforge/operators/kgdocs.py).
+SYNTH_N = 200
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures"
+)
+
+STAGES = ("mentions", "links", "entities", "triples")
+
+
+def _round_away(s: pd.Series, nd: int = ROUND) -> pd.Series:
+    return np.floor(s.astype("float64") * 10**nd + 0.5) / 10**nd
+
+
+def twin_stage_tables(n_files: int = SYNTH_N) -> dict[str, pd.DataFrame]:
+    """Expected (driver-comparable) output of every pipeline stage."""
+    files = synth.synth_files_pdf(n_files)
+    mentions = twin.twin_mentions(files)
+    entities = twin.twin_entities(mentions)
+    links = twin.twin_links(entities)
+    canon = twin.twin_canonical(links)
+    triples = twin.twin_triples(files)
+
+    links_cmp = links.assign(score=_round_away(links["score"]))[["a", "b", "score"]]
+    ents_cmp = pd.DataFrame(
+        sorted(canon.items()), columns=["entity_id", "canonical_id"]
+    )
+    triples_cmp = triples.assign(
+        score=_round_away(triples["score"]), line=triples["line"].astype("Int32")
+    )
+    return {
+        "mentions": mentions.sort_values(list(mentions.columns), ignore_index=True),
+        "links": links_cmp.sort_values(list(links_cmp.columns), ignore_index=True),
+        "entities": ents_cmp,
+        "triples": triples_cmp.sort_values(
+            ["subj", "pred", "obj"], ignore_index=True
+        ),
+    }
+
+
+def fixture_path(stage: str) -> str:
+    return os.path.join(FIXTURE_DIR, f"twin_{stage}.parquet")
+
+
+def generate(out_dir: str = FIXTURE_DIR) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for stage, pdf in twin_stage_tables().items():
+        pdf.to_parquet(os.path.join(out_dir, f"twin_{stage}.parquet"), index=False)
+
+
+if __name__ == "__main__":
+    generate()
+    for s in STAGES:
+        print(fixture_path(s), len(pd.read_parquet(fixture_path(s))))

@@ -1,0 +1,27 @@
+"""Drift guard for the committed twin-oracle fixtures (fixtures/*.parquet).
+
+The pipeline_* driver oracles read these files; if a constants/lexer/synth
+change shifts pipeline semantics, this test fails until the fixtures are
+regenerated (``python -m kgforge.oracle.fixtures``) — so a stale oracle can
+never silently pass or fail the driver gate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kgforge.oracle import fixtures
+
+
+@pytest.fixture(scope="module")
+def fresh():
+    return fixtures.twin_stage_tables()
+
+
+@pytest.mark.parametrize("stage", fixtures.STAGES)
+def test_committed_fixture_matches_twin(fresh, stage):
+    committed = pd.read_parquet(fixtures.fixture_path(stage))
+    pd.testing.assert_frame_equal(
+        committed.reset_index(drop=True), fresh[stage].reset_index(drop=True)
+    )
