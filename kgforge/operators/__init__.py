@@ -11,4 +11,12 @@ from . import registry  # noqa: F401
 
 def load_all() -> None:
     """Import every operator module (triggers registration)."""
-    from . import dedup, kgdocs, multimodal, relational, similarity, text  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        kgdocs,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        wordsearch,
+    )
