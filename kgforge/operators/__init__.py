@@ -15,6 +15,7 @@ def load_all() -> None:
         dedup,
         kgdocs,
         multimodal,
+        ontology,
         relational,
         similarity,
         text,
