@@ -18,6 +18,8 @@ def load_all() -> None:
         ontology,
         relational,
         similarity,
+        spansearch,
+        sqlsurface,
         text,
         wordsearch,
     )

@@ -1,0 +1,136 @@
+"""Mention-span extraction over documents — the highlight-path kernels
+(SURVEY.md §2.3 T3/T4) wired to a real data path:
+
+- T3 span finder: all case-insensitive exact-match occurrences of each
+  query word (/root/reference/experiments/search_highlight.py:95-112)
+- T4 span merge: overlapping/adjacent spans coalesced
+  (/root/reference/experiments/search_highlight.py:69-83)
+
+The Spark side runs the pure-Python kernels from kgforge/functions/spans.py
+inside an Arrow-batched mapInPandas (the UDF shape a subword/NER
+highlighter would use); the DuckDB oracle re-derives the SAME merged spans
+relationally — brute substring scan for T3, gaps-and-islands windowing for
+T4 — so the kernel semantics are cross-checked engine-to-engine, not just
+property-tested.
+
+Spans are emitted stringified ("start:end;start:end", end-exclusive)
+because the driver's canonicalizer cannot hash array columns; the
+array<struct<start,end>> form is the library function ``doc_spans``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import spans as spanlib
+from .registry import query, table
+
+SPAN_TERMS = ("spark", "join", "window", "fast")
+
+DOC_SPANS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("start", IntegerType(), False),
+                        StructField("end", IntegerType(), False),
+                    ]
+                ),
+                False,
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def doc_spans(docs: DataFrame, terms=SPAN_TERMS) -> DataFrame:
+    """documents -> (doc_id, spans: array<struct<start,end>>), merged,
+    only docs with at least one match.  The kernel is pure CPU per row;
+    the only data movement is the Arrow batch."""
+    words = list(terms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                merged = spanlib.find_spans(text, words)
+                if merged:
+                    ids.append(doc_id)
+                    out.append([{"start": s, "end": e} for s, e in merged])
+            yield pd.DataFrame({"doc_id": ids, "spans": out})
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=DOC_SPANS_SCHEMA)
+
+
+_SQL_TERM_VALUES = ", ".join(f"('{t}')" for t in SPAN_TERMS)
+
+# T3 in SQL: all positions i where the lowered text contains the term
+# (overlaps allowed, exactly re.finditer on the escaped word).  T4 in SQL:
+# gaps-and-islands — a new island starts when s exceeds the running max end
+# of preceding spans + 1; islands collapse to (min s, max e).
+_SQL_MENTION_SPANS = rf"""
+with hits as (
+  select doc_id, s, s + length(term) as e
+  from (
+    select d.doc_id, t.term,
+           unnest(list_filter(range(length(d.lo) - length(term) + 1),
+                              i -> substr(d.lo, (i + 1)::INT, length(term)) = term)) as s
+    from (select doc_id, lower(text) as lo from documents) d,
+         (values {_SQL_TERM_VALUES}) t(term)
+  )
+),
+brk as (
+  select doc_id, s, e,
+         case when s > coalesce(max(e) over (
+                  partition by doc_id order by s, e
+                  rows between unbounded preceding and 1 preceding), -2) + 1
+              then 1 else 0 end as is_new
+  from hits
+),
+grp as (
+  select doc_id, s, e,
+         sum(is_new) over (partition by doc_id order by s, e
+                           rows unbounded preceding) as g
+  from brk
+),
+merged as (select doc_id, min(s) as s, max(e) as e from grp group by doc_id, g)
+select doc_id, count(*)::BIGINT as n_spans,
+       string_agg(s || ':' || e, ';' order by s) as spans_csv
+from merged group by doc_id
+"""
+
+
+@query("mention_spans", oracle=_SQL_MENTION_SPANS)
+def mention_spans(spark, sf_dir):
+    """T3+T4 over documents: merged query-term mention spans, stringified
+    for the driver's hash compare.  The Spark side is the spans.py kernel
+    in mapInPandas; the oracle is an independent relational derivation
+    (substring scan + gaps-and-islands)."""
+    ds = doc_spans(table(spark, sf_dir, "documents"))
+    return ds.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.array_join(
+            F.transform(
+                "spans",
+                lambda sp: F.concat_ws(":", sp["start"].cast("string"), sp["end"].cast("string")),
+            ),
+            ";",
+        ).alias("spans_csv"),
+    )
