@@ -10,8 +10,12 @@ driver collect).  The KG pipeline itself is benchmarked as
 ``pipeline_triples`` over a 3,000-file synthetic corpus (FIXTURES.md §1
 bench size); files/sec + triples/sec for it are reported as extra keys.
 
-Scaling-efficiency evidence (local[8] vs local[32]) lives in
-bench/scaling.py — results recorded in BASELINE.md.
+Scaling-efficiency evidence (paired local[2] vs local[8] invocations) lives
+in bench/scaling.py — results recorded in BASELINE.md / BENCH_SCALING.json.
+
+Round-over-round hygiene: if a previous round's BENCH_r{N}.json exists in
+the repo root, per-query deltas vs the latest one are emitted under
+``delta_vs_prev`` so regressions are self-reporting.
 """
 
 from __future__ import annotations
@@ -111,19 +115,51 @@ def main() -> None:
         timings[name] = round(dt, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                **extra,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        **extra,
+    }
+    prev = _latest_prev_round()
+    if prev is not None:
+        prev_name, prev_data = prev
+        pq = prev_data.get("queries", {})
+        payload["prev_round"] = prev_name
+        payload["delta_vs_prev"] = {
+            q: round(t - pq[q], 3) for q, t in timings.items() if q in pq
+        }
+        if isinstance(prev_data.get("value"), (int, float)):
+            payload["delta_total_vs_prev"] = round(total - prev_data["value"], 3)
+    print(json.dumps(payload))
+
+
+def _latest_prev_round():
+    """(name, parsed json) of the highest-numbered BENCH_r{N}.json, if any."""
+    import glob
+    import re
+
+    best = None
+    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the driver wraps the emitted JSON line under "parsed"
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return os.path.basename(best[1]), data
 
 
 if __name__ == "__main__":

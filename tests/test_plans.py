@@ -87,6 +87,26 @@ def test_candidate_links_bucket_join_shape(spark, small_files):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
+def test_embedding_near_dups_has_block_valve(plans):
+    """The label-block self-join must sit behind the oversized-block
+    broadcast anti-join (a hot label would otherwise go quadratic) and end
+    in a distributed top-k, not a global-window funnel."""
+    p = plans("embedding_near_dups")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_word_search_plan(plans):
+    """Word-level search: the only nested-loop join allowed is the
+    broadcast of the tiny query-token side; scoring is hash aggregates and
+    the top-k is TakeOrderedAndProject."""
+    p = plans("word_search")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "HashAggregate" in p and "SortAggregate" not in p
+
+
 def test_mentions_stage_is_arrow_udtf(spark, small_files):
     from kgforge.stages import mentions
 
