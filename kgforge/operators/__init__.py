@@ -13,6 +13,7 @@ def load_all() -> None:
     """Import every operator module (triggers registration)."""
     from . import (  # noqa: F401
         dedup,
+        jsonl_sources,
         kgdocs,
         multimodal,
         ontology,
