@@ -116,6 +116,47 @@ from merged group by doc_id
 """
 
 
+@query("subword_highlight_spans")
+def subword_highlight_spans(spark, sf_dir):
+    """T5+T6 data path (rows-only; kernels unit/property-tested): subword
+    tokenize each document (deterministic wordpiece stand-in), match pieces
+    of the query terms, repair matches across '##' continuations to
+    whole-word token spans, and map token spans to char spans — the
+    highlight_llm chain of /root/reference/experiments/search_highlight.py:
+    114-163 with the model swapped for the deterministic tokenizer."""
+    match_pieces = set()
+    for t in SPAN_TERMS:
+        toks, _ = spanlib.wordpiece_ish(t)
+        match_pieces.update(p.removeprefix("##") for p in toks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, csvs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tokens, offsets = spanlib.wordpiece_ish(text.lower())
+                matched = [
+                    i for i, t in enumerate(tokens) if t.removeprefix("##") in match_pieces
+                ]
+                if not matched:
+                    continue
+                tok_spans = spanlib.repair_subword_spans(tokens, matched)
+                char_spans = [spanlib.tokens_to_char_span(offsets, s) for s in tok_spans]
+                ids.append(doc_id)
+                ns.append(len(char_spans))
+                csvs.append(";".join(f"{s}:{e}" for s, e in char_spans))
+            yield pd.DataFrame({"doc_id": ids, "n_spans": ns, "spans_csv": csvs})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_spans", IntegerType(), False),
+            StructField("spans_csv", StringType(), False),
+        ]
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(run, schema=schema)
+
+
 @query("mention_spans", oracle=_SQL_MENTION_SPANS)
 def mention_spans(spark, sf_dir):
     """T3+T4 over documents: merged query-term mention spans, stringified
