@@ -7,10 +7,11 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 All queries live in ``kgforge/operators/`` (self-registering; each module
 keeps its Spark plan and DuckDB oracle adjacent so aliases stay in sync).
-Non-SQL-expressible entries (the iterative connected-components pipeline
-stages, the multimodal UDF path) have no oracle and get the rows-only
-check; their correctness gate is the pandas twin differential in
-tests/test_pipeline.py.
+The four pipeline_* stages are oracle-gated against the pandas twin's
+precomputed outputs (fixtures/twin_*.parquet — the iterative CC stage is
+not SQL-expressible, so the independent twin supplies the expected rows);
+the remaining rows-only entries (word_search_vec, subword_highlight_spans)
+are differentialed in pytest instead.
 """
 
 from __future__ import annotations

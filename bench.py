@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "kg_doc_mentions",
     "kg_doc_triples",
+    "word_search",
+    "mention_spans",
     "pipeline_triples",
 ]
 

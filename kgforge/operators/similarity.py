@@ -22,6 +22,7 @@ from .registry import ROUND, query, table
 N_QUERIES = 5          # vec_id < 5 are the query vectors
 TOPK = 10
 SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # fixed dims for the sign bucket
+NPROBE = 2             # IVF: search the closest NPROBE centroid blocks
 
 
 def _dvec(col: str):
@@ -136,6 +137,93 @@ def ann_lsh_topk(spark, sf_dir):
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK)
+        .select("qid", "vec_id", "score")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    with cen as (
+      select label as clabel, pos, avg(x) as c
+      from (select label, unnest(list_transform(embedding, v -> v::DOUBLE)) as x,
+                   unnest(range(len(embedding))) as pos
+            from embeddings)
+      group by label, pos
+    ),
+    cnorm as (select clabel, sqrt(sum(c*c)) as nc from cen group by clabel),
+    q as (select vec_id as qid, embedding as qe from embeddings where vec_id < {N_QUERIES}),
+    qv as (select qid, unnest(list_transform(qe, x -> x::DOUBLE)) as x,
+                  unnest(range(len(qe))) as pos from q),
+    qnorm as (select qid, sqrt(sum(x*x)) as nq from qv group by qid),
+    qc as (select qv.qid, cen.clabel, sum(qv.x * cen.c) as dot
+           from qv join cen using (pos) group by qv.qid, cen.clabel),
+    probed as (
+      select qid, clabel from (
+        select qc.qid, qc.clabel,
+               row_number() over (
+                 partition by qc.qid
+                 order by round(qc.dot / (qnorm.nq * cnorm.nc), {ROUND}) desc, qc.clabel
+               ) as rn
+        from qc join qnorm using (qid) join cnorm using (clabel)
+      ) where rn <= {NPROBE}
+    )
+    select qid, vec_id, score from (
+      select p.qid, e.vec_id,
+             round({_SQL_COS.format(a="q.qe", b="e.embedding")}, {ROUND}) as score,
+             row_number() over (
+               partition by p.qid
+               order by round({_SQL_COS.format(a="q.qe", b="e.embedding")}, {ROUND}) desc, e.vec_id
+             ) as rn
+      from probed p
+      join embeddings e on e.label = p.clabel
+      join q on q.qid = p.qid
+      where e.vec_id <> p.qid
+    ) where rn <= {TOPK}
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """Full IVF search: train centroids (label blocks as the coarse
+    quantizer), rank centroids per query, then search only the NPROBE
+    closest blocks — candidates shrink from N to N·(nprobe/n_cells), and
+    the block restriction is a plain equi-join on label.  The probed
+    (query, block) pairs are broadcast-sized (n_queries x nprobe), so the
+    candidate join broadcasts and the whole plan stays shuffle-light at
+    10^12 vectors."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.posexplode(_dvec("embedding")).alias("pos", "x"))
+    cen = v.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("x").alias("c"))
+    cnorm = cen.groupBy("clabel").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qv = q.select("qid", F.posexplode(_dvec("qe")).alias("pos", "x"))
+    qnorm = qv.groupBy("qid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nq"))
+    qc = (
+        qv.join(F.broadcast(cen), "pos")
+        .groupBy("qid", "clabel")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("clabel"))
+    probed = (
+        qc.join(qnorm, "qid")
+        .join(F.broadcast(cnorm), "clabel")
+        .select("qid", "clabel", F.round(F.col("dot") / (F.col("nq") * F.col("nc")), ROUND).alias("csim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("qid", "clabel")
+    )
+    cand = (
+        e.join(F.broadcast(probed), e["label"] == probed["clabel"])
+        .join(F.broadcast(q), "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_cos("qe", "embedding"), ROUND).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOPK)
         .select("qid", "vec_id", "score")
     )
