@@ -333,8 +333,10 @@ def pipeline_entities(spark, sf_dir):
 def pipeline_triples(spark, sf_dir):
     """Stage 5: the full materialized triple graph vs the twin's — the
     north_rule P/R differential, promoted to an exact-equality driver gate
-    (P/R 1.0 at this scale)."""
-    men = mentions.extract_mentions(_synth(spark))
+    (P/R 1.0 at this scale).  Uses the single-pass packed plan, the same
+    path the pipeline runs."""
+    men_packed = mentions.extract_mentions_packed(_synth(spark))
+    men = mentions.explode_mentions(men_packed)
     links = link.candidate_links(embed.embed_mentions(men))
     ents = canonical.connected_components(links)
-    return materialize.triples_from_mentions(men, ents)
+    return materialize.triples_from_packed(men_packed, ents)

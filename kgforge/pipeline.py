@@ -62,7 +62,7 @@ def run_pipeline(
         materialize.stage_metrics(
             "mentions",
             files.select("repo"),
-            men_packed.select("repo", F.size("kinds").alias("_n")),
+            men_packed.select("repo", F.col("n_mentions").alias("_n")),
             int((time.time() - t1) * 1000),
             sha_ok=sha_ok,
             out_weight="_n",
@@ -99,7 +99,7 @@ def run_pipeline(
     t5 = time.time()
     tri = ck.get_or_run(
         "triples",
-        lambda: materialize.triples_from_mentions(men, ents),
+        lambda: materialize.triples_from_packed(men_packed, ents),
         partition_by=["pred"],
         force=force,
         schema=schemas.TRIPLES,
@@ -108,7 +108,7 @@ def run_pipeline(
     metrics_parts.append(
         materialize.stage_metrics(
             "triples",
-            men_packed.select("repo", F.size("kinds").alias("_n")),
+            men_packed.select("repo", F.col("n_mentions").alias("_n")),
             tri.withColumn("repo", F.split_part(F.col("subj"), F.lit(":"), F.lit(1))),
             int((time.time() - t5) * 1000),
             in_weight="_n",

@@ -46,6 +46,111 @@ assert len(set(_kind_images)) == len(_kind_images), (
 del _kind_images
 
 
+# Largest canonical dictionary that is inlined as a literal create_map in
+# the single-pass packed plan; bigger dictionaries fall back to the
+# broadcast-join plan (a 10k-entry literal map is ~40kB of plan, fine;
+# an unbounded one would blow up Catalyst).
+MAP_LITERAL_MAX = 10_000
+
+
+def triples_from_packed(
+    packed: DataFrame,
+    mapping: DataFrame,
+    map_literal_max: int = MAP_LITERAL_MAX,
+) -> DataFrame:
+    """PACKED mentions + ENTITIES -> TRIPLES in ONE scan, zero joins,
+    zero shuffles (plus the tiny same_as union).
+
+    The union-of-two-filters plan in ``triples_from_mentions`` evaluates
+    its (un-materialized) scan+explode+join TWICE — Catalyst cannot reuse
+    a non-exchange subtree across union legs, and the double decode of the
+    packed arrays measured as the worst-scaling stage in the pipeline
+    (35s at local[2] -> 40-50s at local[8] on 1M files; it was ~45% of the
+    non-mention wall).  Here the canonical dictionary (broadcast-sized by
+    contract, probed and bounded) is inlined as a LITERAL map, the
+    mention list is mapped + first-occurrence-deduped per file in array
+    land, and one inline() explodes the final triples:
+
+        scan packed -> map (pred, canonical obj) per element
+                    -> first-occurrence filter on the mapped key
+                    -> inline -> project -> write
+
+    First-occurrence == min line because the lexer emits mentions in line
+    order (the same invariant the is_first flag already relies on); the
+    per-file dedup subsumes is_first entirely, including the
+    post-canonicalization collisions that used to need a hash aggregate.
+    The twin differential + fixture oracles pin exact equality with the
+    join plan.  Dictionaries larger than ``map_literal_max`` (or an
+    unbounded probe) fall back to the join plan.
+    """
+    from . import mentions as mentions_stage
+
+    probe = mapping.limit(map_literal_max + 1).collect()
+    if len(probe) > map_literal_max:
+        return triples_from_mentions(mentions_stage.explode_mentions(packed), mapping)
+
+    pairs = sorted(
+        {(r["entity_id"], r["canonical_id"]) for r in probe}
+        | {(r["canonical_id"], r["canonical_id"]) for r in probe}
+    )
+    pred_map = F.create_map(*[F.lit(x) for kv in _KIND_PRED.items() for x in kv])
+    etype_map = F.create_map(*[F.lit(x) for kv in _KIND_ETYPE.items() for x in kv])
+    canon_map = (
+        F.create_map(*[F.lit(x) for kv in pairs for x in kv]) if pairs else None
+    )
+
+    ments = F.filter(
+        F.arrays_zip("kinds", "names", "lines"), lambda s: s["kinds"] != "module"
+    )
+    raw_obj = lambda s: F.concat_ws(":", etype_map[s["kinds"]], s["names"])  # noqa: E731
+    obj_of = (
+        (lambda s: F.coalesce(canon_map[raw_obj(s)], raw_obj(s)))
+        if canon_map is not None
+        else raw_obj
+    )
+    mapped = F.transform(
+        ments,
+        lambda s: F.struct(
+            pred_map[s["kinds"]].alias("pred"),
+            obj_of(s).alias("obj"),
+            s["lines"].alias("line"),
+        ),
+    )
+
+    # Stage each array through a projection boundary: inlined, Catalyst
+    # would duplicate the `mapped` expression into every element_at of the
+    # dedup filter (the shingle-builder trap — measured 31x there).
+    staged = packed.select(
+        F.concat_ws(":", "repo", "path").alias("subj"), mapped.alias("mapped")
+    ).select(
+        "subj",
+        "mapped",
+        F.transform("mapped", lambda s: F.concat_ws("|", s["pred"], s["obj"])).alias("keys"),
+    )
+    deduped = staged.select(
+        "subj",
+        F.filter(
+            "mapped",
+            lambda s, i: F.array_position(
+                F.col("keys"), F.element_at(F.col("keys"), i + 1)
+            )
+            == i + 1,
+        ).alias("kept"),
+    )
+    lexical = deduped.select("subj", F.inline("kept")).select(
+        "subj", "pred", "obj", F.col("line"), F.lit(1.0).alias("score")
+    )
+
+    same_as = mapping.select(
+        F.col("entity_id").alias("subj"),
+        F.lit(constants.PRED_SAME_AS).alias("pred"),
+        F.col("canonical_id").alias("obj"),
+        F.lit(None).cast("int").alias("line"),
+        F.lit(1.0).alias("score"),
+    )
+    return lexical.unionByName(same_as)
+
+
 def triples_from_mentions(
     mentions: DataFrame,
     mapping: DataFrame,

@@ -45,6 +45,10 @@ MENTIONS_PACKED = StructType(
         StructField("names", ArrayType(StringType(), False), False),
         StructField("lines", ArrayType(IntegerType(), False), False),
         StructField("firsts", ArrayType(BooleanType(), False), False),
+        # mention count, materialized at lex time: lineage/metrics reads
+        # this 4-byte column instead of decoding the heavy arrays to take
+        # size(kinds) — a full array decode per metrics pass otherwise.
+        StructField("n_mentions", IntegerType(), False),
     ]
 )
 
@@ -125,6 +129,7 @@ def extract_mentions_packed(files: DataFrame, repartition: bool = False) -> Data
                     "names": names,
                     "lines": lines,
                     "firsts": firsts,
+                    "n_mentions": [len(k) for k in kinds],
                 }
             )
 

@@ -114,6 +114,33 @@ def test_mentions_stage_is_arrow_udtf(spark, small_files):
     assert "MapInPandas" in p
 
 
+def test_triples_packed_single_pass(spark, small_files):
+    """The packed triples plan must be ONE scan -> array expressions ->
+    inline -> project: no shuffle, no join, no second traversal of the
+    mention table (the union-of-filters plan decoded the packed arrays
+    twice — worst-scaling stage of round 2's first measurement)."""
+    from kgforge.stages import canonical, embed, link, materialize, mentions
+
+    packed = mentions.extract_mentions_packed(small_files)
+    men = mentions.explode_mentions(packed)
+    links = link.candidate_links(embed.embed_mentions(men))
+    ents = canonical.connected_components(links)
+    # materialize the mapping like the checkpointed pipeline would, so the
+    # same_as leg doesn't re-derive the lexer chain inside this plan
+    ents = spark.createDataFrame(
+        ents.collect() or [], "entity_id string, canonical_id string"
+    )
+    p = plan_of(materialize.triples_from_packed(packed, ents))
+    assert "Exchange hashpartitioning" not in p
+    assert "SortAggregate" not in p and "HashAggregate" not in p
+    assert "Join" not in p  # dictionary is a literal map, not a join
+    # exactly ONE MapInPandas NODE (the lexer) — formatted plans list each
+    # node twice (tree + detail), so count node headers
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+
+
 def test_events_hourly_partial_agg(plans):
     # partial (map-side) aggregation before the shuffle: two HashAggregate
     # nodes around a single Exchange
