@@ -58,87 +58,109 @@ def triples_from_packed(
     mapping: DataFrame,
     map_literal_max: int = MAP_LITERAL_MAX,
 ) -> DataFrame:
-    """PACKED mentions + ENTITIES -> TRIPLES in ONE scan, zero joins,
+    """PACKED mentions + ENTITIES -> TRIPLES in ONE pass, zero joins,
     zero shuffles (plus the tiny same_as union).
 
     The union-of-two-filters plan in ``triples_from_mentions`` evaluates
     its (un-materialized) scan+explode+join TWICE — Catalyst cannot reuse
     a non-exchange subtree across union legs, and the double decode of the
-    packed arrays measured as the worst-scaling stage in the pipeline
-    (35s at local[2] -> 40-50s at local[8] on 1M files; it was ~45% of the
-    non-mention wall).  Here the canonical dictionary (broadcast-sized by
-    contract, probed and bounded) is inlined as a LITERAL map, the
-    mention list is mapped + first-occurrence-deduped per file in array
-    land, and one inline() explodes the final triples:
+    packed arrays measured as the worst-scaling stage of the 1M-file
+    pipeline (35s at local[2] -> 40-75s at local[8]).  A pure-JVM
+    single-pass variant (literal-map lookups + per-element first-occurrence
+    filter in array land) was tried first and measured CATASTROPHICALLY
+    slow: higher-order-function lambda bodies are interpreted, not
+    whole-stage-codegen'd, so the O(n^2)-per-file key dedup plus per-element
+    map construction ran minutes where the join plan ran seconds.
 
-        scan packed -> map (pred, canonical obj) per element
-                    -> first-occurrence filter on the mapped key
+    This implementation ships the packed arrays through ONE Arrow-batched
+    mapInPandas — the exact shape of the lexer stage, which measures
+    0.91+ scaling — with the (probed, broadcast-sized) canonical
+    dictionary captured in the UDF closure.  Per file, a plain dict pass
+    maps kind -> (pred, etype), applies canonicalization, and keeps the
+    first occurrence of each (pred, obj) key (== min line: the lexer
+    emits mentions in line order — the invariant is_first already relies
+    on; this subsumes is_first including post-canonicalization
+    collisions).  Output stays PACKED per file and a JVM inline()
+    explodes it:
+
+        scan packed -> mapInPandas (map+dedup, arrays in/arrays out)
                     -> inline -> project -> write
 
-    First-occurrence == min line because the lexer emits mentions in line
-    order (the same invariant the is_first flag already relies on); the
-    per-file dedup subsumes is_first entirely, including the
-    post-canonicalization collisions that used to need a hash aggregate.
     The twin differential + fixture oracles pin exact equality with the
-    join plan.  Dictionaries larger than ``map_literal_max`` (or an
-    unbounded probe) fall back to the join plan.
-    """
+    join plan.  Dictionaries larger than ``map_literal_max`` fall back to
+    the broadcast-join plan (closure capture of an unbounded dict would
+    ship it to every task)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     from . import mentions as mentions_stage
 
     probe = mapping.limit(map_literal_max + 1).collect()
     if len(probe) > map_literal_max:
         return triples_from_mentions(mentions_stage.explode_mentions(packed), mapping)
 
-    pairs = sorted(
-        {(r["entity_id"], r["canonical_id"]) for r in probe}
-        | {(r["canonical_id"], r["canonical_id"]) for r in probe}
-    )
-    pred_map = F.create_map(*[F.lit(x) for kv in _KIND_PRED.items() for x in kv])
-    etype_map = F.create_map(*[F.lit(x) for kv in _KIND_ETYPE.items() for x in kv])
-    canon_map = (
-        F.create_map(*[F.lit(x) for kv in pairs for x in kv]) if pairs else None
+    canon = {r["entity_id"]: r["canonical_id"] for r in probe}
+    kind_pred = dict(_KIND_PRED)
+    kind_etype = dict(_KIND_ETYPE)
+
+    out_schema = StructType(
+        [
+            StructField("subj", StringType(), False),
+            StructField("preds", ArrayType(StringType(), False), False),
+            StructField("objs", ArrayType(StringType(), False), False),
+            StructField("lns", ArrayType(IntegerType(), False), False),
+        ]
     )
 
-    ments = F.filter(
-        F.arrays_zip("kinds", "names", "lines"), lambda s: s["kinds"] != "module"
-    )
-    raw_obj = lambda s: F.concat_ws(":", etype_map[s["kinds"]], s["names"])  # noqa: E731
-    obj_of = (
-        (lambda s: F.coalesce(canon_map[raw_obj(s)], raw_obj(s)))
-        if canon_map is not None
-        else raw_obj
-    )
-    mapped = F.transform(
-        ments,
-        lambda s: F.struct(
-            pred_map[s["kinds"]].alias("pred"),
-            obj_of(s).alias("obj"),
-            s["lines"].alias("line"),
-        ),
-    )
-
-    # Stage each array through a projection boundary: inlined, Catalyst
-    # would duplicate the `mapped` expression into every element_at of the
-    # dedup filter (the shingle-builder trap — measured 31x there).
-    staged = packed.select(
-        F.concat_ws(":", "repo", "path").alias("subj"), mapped.alias("mapped")
-    ).select(
-        "subj",
-        "mapped",
-        F.transform("mapped", lambda s: F.concat_ws("|", s["pred"], s["obj"])).alias("keys"),
-    )
-    deduped = staged.select(
-        "subj",
-        F.filter(
-            "mapped",
-            lambda s, i: F.array_position(
-                F.col("keys"), F.element_at(F.col("keys"), i + 1)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            subjs, preds_out, objs_out, lns_out = [], [], [], []
+            for repo, path, kinds, names, lines in zip(
+                pdf["repo"], pdf["path"], pdf["kinds"], pdf["names"], pdf["lines"]
+            ):
+                seen: set[tuple[str, str]] = set()
+                ps: list[str] = []
+                os_: list[str] = []
+                ls: list[int] = []
+                for k, n, ln in zip(kinds, names, lines):
+                    if k == "module":
+                        continue
+                    obj = kind_etype[k] + ":" + n
+                    obj = canon.get(obj, obj)
+                    key = (kind_pred[k], obj)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    ps.append(key[0])
+                    os_.append(obj)
+                    ls.append(int(ln))
+                subjs.append(repo + ":" + path)
+                preds_out.append(ps)
+                objs_out.append(os_)
+                lns_out.append(ls)
+            yield pd.DataFrame(
+                {"subj": subjs, "preds": preds_out, "objs": objs_out, "lns": lns_out}
             )
-            == i + 1,
-        ).alias("kept"),
+
+    packed_triples = packed.select("repo", "path", "kinds", "names", "lines").mapInPandas(
+        run, schema=out_schema
     )
-    lexical = deduped.select("subj", F.inline("kept")).select(
-        "subj", "pred", "obj", F.col("line"), F.lit(1.0).alias("score")
+    lexical = packed_triples.select(
+        "subj", F.inline(F.arrays_zip("preds", "objs", "lns"))
+    ).select(
+        F.col("subj"),
+        F.col("preds").alias("pred"),
+        F.col("objs").alias("obj"),
+        F.col("lns").alias("line"),
+        F.lit(1.0).alias("score"),
     )
 
     same_as = mapping.select(

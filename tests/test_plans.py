@@ -133,12 +133,12 @@ def test_triples_packed_single_pass(spark, small_files):
     p = plan_of(materialize.triples_from_packed(packed, ents))
     assert "Exchange hashpartitioning" not in p
     assert "SortAggregate" not in p and "HashAggregate" not in p
-    assert "Join" not in p  # dictionary is a literal map, not a join
-    # exactly ONE MapInPandas NODE (the lexer) — formatted plans list each
-    # node twice (tree + detail), so count node headers
+    assert "Join" not in p  # dictionary rides the UDF closure, not a join
+    # exactly TWO MapInPandas NODES: the lexer and the map+dedup pass
+    # (in the pipeline the lexer side is a checkpoint read, leaving one)
     import re
 
-    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2
 
 
 def test_events_hourly_partial_agg(plans):
