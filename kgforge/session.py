@@ -71,6 +71,15 @@ def build_session(
             "16777216" if (master or "").startswith("local") else "134217728",
         ),
         "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # Dynamic-partition writes (triples partitioned by pred) otherwise
+        # get a planned per-task SORT on the partition column — measured
+        # 30.1s vs 12.1s for the 24M-row triples write at local[8], with
+        # huge variance (sort memory pressure).  pred has cardinality 4,
+        # so concurrent writers are strictly better; Spark falls back to
+        # the sort-based path automatically if a task ever exceeds this
+        # many open writers (i.e. high-cardinality partition columns still
+        # behave).
+        "spark.sql.maxConcurrentOutputFileWriters": "16",
         # Quieter local runs.
         "spark.ui.enabled": "false",
     }
