@@ -77,6 +77,11 @@ def worker(cpus: int, input_dir: str, run_root: str) -> None:
     # the timed window (a cluster executor amortizes this over hours).
     warm_root = tempfile.mkdtemp(prefix="kgscale_warm_", dir=os.path.dirname(run_root))
     run_pipeline(spark, files.limit(WARMUP_FILES), warm_root)["triples"].count()
+    # warm-up checkpoints live on the tmpfs tmp_root — delete them so later
+    # paired windows don't run with less free memory than earlier ones
+    import shutil
+
+    shutil.rmtree(warm_root, ignore_errors=True)
 
     t0 = time.time()
     out = run_pipeline(spark, files, run_root)

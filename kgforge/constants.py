@@ -9,7 +9,13 @@ RandomState.  Reference analogs cited per constant.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# Committed data fixtures (ontology YAML, blacklist, JSONL sources) — one
+# definition so every operator module resolves the same directory.
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 # ---------------------------------------------------------------- embedding
 # Deterministic replacement for the reference's sentence embedder
@@ -98,6 +104,18 @@ DOC_PAIR_MIN_COUNT = 2   # pair must co-occur in >= this many docs
 
 # ---------------------------------------------------------------- misc
 SHUFFLE_PARTITIONS = 32
+
+
+def round_half_away(value: float, nd: int) -> float:
+    """Round half AWAY from zero (non-negative inputs), matching Spark's
+    F.round and DuckDB's round().  Python's built-in round is banker's
+    (half-to-even) and disagrees on exact .xxx5 boundaries — which occur
+    routinely when counts divide power-of-two totals.  Shared by every
+    site that rounds outside a Spark/DuckDB expression (fixture
+    generation, numpy UDF kernels) so the contract lives in one place."""
+    import math
+
+    return math.floor(value * 10**nd + 0.5) / 10**nd
 SALT_BUCKETS = 8         # salting fan-out for skewed (repo, lang) partitions
 
 

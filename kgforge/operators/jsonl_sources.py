@@ -34,9 +34,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..constants import DATA_DIR
 from .registry import query
 
-DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 STATEMENTS_PATH = os.path.join(DATA_DIR, "statements.jsonl")
 MATCHES_PATH = os.path.join(DATA_DIR, "indicator_matches.jsonl")
 

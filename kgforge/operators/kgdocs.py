@@ -9,10 +9,13 @@ experiment chain (/root/reference/experiments/uaz_documents_comparison.py):
 - agreement counters between two pipeline variants (A9,
   /root/reference/experiments/uaz_indicators_comparison.py:139-161)
 
-plus rows-only registrations of the real code-corpus pipeline stages
+plus ORACLE-gated registrations of the real code-corpus pipeline stages
 (mentions -> links -> components -> triples) over the deterministic
-synthetic corpus — non-SQL-expressible (iterative CC), so the driver records
-the weaker rows-only check and pytest carries the twin-differential gate.
+synthetic corpus: the iterative CC stage is not SQL-expressible, so the
+DuckDB oracles read the independent pandas twin's precomputed stage outputs
+(fixtures/twin_*.parquet via kgforge/oracle/fixtures.py, drift-guarded by
+tests/test_twin_fixtures.py) — the same hard row/schema/value-hash check
+every SQL query gets.
 """
 
 from __future__ import annotations

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..constants import round_half_away
 from .registry import query, table
 
 FEATURE_BINS = 8
@@ -86,12 +87,9 @@ def extract_features(manifest: DataFrame) -> DataFrame:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 hist, _ = np.histogram(arr, bins=FEATURE_BINS, range=(0, 256))
                 total = max(int(hist.sum()), 1)
-                # round HALF-AWAY (like Spark's F.round and DuckDB's round),
-                # not Python's banker's round: byte counts over power-of-two
-                # totals hit exact .xxxxx5 boundaries routinely.
-                feats.append(
-                    [float(np.floor(v / total * 1e6 + 0.5) / 1e6) for v in hist]
-                )
+                # round HALF-AWAY (constants.round_half_away: the shared
+                # match-Spark/DuckDB rounding contract)
+                feats.append([round_half_away(float(v) / total, 6) for v in hist])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

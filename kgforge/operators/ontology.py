@@ -32,9 +32,9 @@ from functools import lru_cache
 
 from pyspark.sql import functions as F
 
+from ..constants import DATA_DIR
 from .registry import query
 
-DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 ONTOLOGY_PATH = os.path.join(DATA_DIR, "ontology.yml")
 BLACKLIST_PATH = os.path.join(DATA_DIR, "ontology_blacklist.txt")
 

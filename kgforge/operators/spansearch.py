@@ -80,8 +80,9 @@ def doc_spans(docs: DataFrame, terms=SPAN_TERMS) -> DataFrame:
 
 _SQL_TERM_VALUES = ", ".join(f"('{t}')" for t in SPAN_TERMS)
 
-# T3 in SQL: all positions i where the lowered text contains the term
-# (overlaps allowed, exactly re.finditer on the escaped word).  T4 in SQL:
+# T3 in SQL: every start offset i where the lowered text contains the term
+# — the same self-overlap-inclusive set the kernel's lookahead finditer
+# produces (see functions/spans.py:find_spans).  T4 in SQL:
 # gaps-and-islands — a new island starts when s exceeds the running max end
 # of preceding spans + 1; islands collapse to (min s, max e).
 _SQL_MENTION_SPANS = rf"""

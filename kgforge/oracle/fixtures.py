@@ -26,10 +26,9 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pandas as pd
 
-from .. import synth
+from .. import constants, synth
 from ..operators.registry import ROUND
 from . import twin
 
@@ -44,7 +43,8 @@ STAGES = ("mentions", "links", "entities", "triples")
 
 
 def _round_away(s: pd.Series, nd: int = ROUND) -> pd.Series:
-    return np.floor(s.astype("float64") * 10**nd + 0.5) / 10**nd
+    """Vectorized constants.round_half_away (the shared rounding contract)."""
+    return s.astype("float64").map(lambda v: constants.round_half_away(v, nd))
 
 
 def twin_stage_tables(n_files: int = SYNTH_N) -> dict[str, pd.DataFrame]:
@@ -63,6 +63,10 @@ def twin_stage_tables(n_files: int = SYNTH_N) -> dict[str, pd.DataFrame]:
     triples_cmp = triples.assign(
         score=_round_away(triples["score"]), line=triples["line"].astype("Int32")
     )
+    # line stored as Int32 on BOTH fixture tables so DuckDB reads INTEGER,
+    # matching Spark's IntegerType (schemas.MENTIONS/TRIPLES) if the
+    # driver's compare is type-sensitive.
+    mentions = mentions.assign(line=mentions["line"].astype("Int32"))
     return {
         "mentions": mentions.sort_values(list(mentions.columns), ignore_index=True),
         "links": links_cmp.sort_values(list(links_cmp.columns), ignore_index=True),

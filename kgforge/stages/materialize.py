@@ -103,9 +103,16 @@ def triples_from_packed(
 
     from . import mentions as mentions_stage
 
-    probe = mapping.limit(map_literal_max + 1).collect()
+    # ONE probe serves both paths: probe up to the fallback's own limit so
+    # the join plan can reuse these rows instead of re-collecting the
+    # mapping (two driver jobs over a possibly non-checkpointed mapping
+    # otherwise, for dictionaries between the two thresholds).
+    probe_cap = max(map_literal_max, 100_000)
+    probe = mapping.limit(probe_cap + 1).collect()
     if len(probe) > map_literal_max:
-        return triples_from_mentions(mentions_stage.explode_mentions(packed), mapping)
+        return triples_from_mentions(
+            mentions_stage.explode_mentions(packed), mapping, probe_rows=probe
+        )
 
     canon = {r["entity_id"]: r["canonical_id"] for r in probe}
     kind_pred = dict(_KIND_PRED)
@@ -178,6 +185,7 @@ def triples_from_mentions(
     mapping: DataFrame,
     broadcast_map: bool = True,
     prefilter_limit: int = 100_000,
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """MENTIONS + ENTITIES -> TRIPLES.
 
@@ -227,7 +235,13 @@ def triples_from_mentions(
     # One bounded probe of the (broadcast-sized by contract) mapping: if it
     # fits, build the collision dictionary driver-side — one tiny local
     # relation instead of a twice-planned distinct-union subquery.
-    probe = mapping.limit(prefilter_limit + 1).collect() if broadcast_map else None
+    # probe_rows: a caller that already limit-collected the mapping (with a
+    # cap >= prefilter_limit + 1, see triples_from_packed) passes the rows
+    # through so the same Spark job isn't run twice.
+    if probe_rows is not None:
+        probe = probe_rows if broadcast_map else None
+    else:
+        probe = mapping.limit(prefilter_limit + 1).collect() if broadcast_map else None
     small = probe is not None and len(probe) <= prefilter_limit
 
     if small:
@@ -355,5 +369,8 @@ def stage_metrics(
         F.coalesce("rows_in", F.lit(0)).alias("rows_in"),
         F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
         F.coalesce("content_sha_ok", F.lit(True)).alias("content_sha_ok"),
-        F.lit(int(wall_ms)).alias("wall_ms"),
+        # cast: a bare int literal is IntegerType, but schemas.METRICS
+        # declares LongType — without the cast the checkpoint schema guard
+        # rejects every valid metrics table and resume recomputes it forever
+        F.lit(int(wall_ms)).cast("long").alias("wall_ms"),
     )
