@@ -12,6 +12,7 @@ from . import registry  # noqa: F401
 def load_all() -> None:
     """Import every operator module (triggers registration)."""
     from . import (  # noqa: F401
+        cleaning,
         dedup,
         jsonl_sources,
         kgdocs,

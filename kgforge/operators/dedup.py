@@ -204,6 +204,68 @@ def minhash_near_dup_pairs(spark, sf_dir):
     )
 
 
+# Incremental split: doc_id % INCR_MOD == 0 simulates "the newly arrived
+# batch"; the rest is the existing corpus (in production the new batch is
+# yesterday's partition and the corpus side is the persisted signature
+# index — the join shape is identical).
+INCR_MOD = 5
+
+
+@query(
+    "minhash_incremental",
+    oracle=f"""
+    with sh as ({_SQL_SHINGLES}),
+    sigs as (select doc_id, {_SQL_MINHASH}
+             from (select doc_id, {_SQL_MD5_GROUPS} from sh)),
+    bands as ({_SQL_BANDS}),
+    newb as (select * from bands where doc_id % {INCR_MOD} = 0),
+    oldb as (select * from bands where doc_id % {INCR_MOD} <> 0),
+    cand as (
+      select distinct n.doc_id as new_doc, o.doc_id as dup_of
+      from newb n join oldb o on n.band = o.band and n.sig = o.sig
+    )
+    select new_doc, dup_of,
+           round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / len(list_distinct(x.sh || y.sh)), {ROUND}) as jaccard
+    from cand join sh x on x.doc_id = new_doc join sh y on y.doc_id = dup_of
+    where len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def minhash_incremental(spark, sf_dir):
+    """Incremental dedup: the NEW batch's signatures probe the EXISTING
+    corpus's banded signature index (never new x new, never old x old) —
+    the shape a daily training-data ingest runs, where the old side is a
+    persisted index and only the new partition is shingled.  Same
+    verify-after-block structure as minhash_near_dup_pairs, so precision
+    stays 1.0 and cost is proportional to the new batch."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    sigs = _md5_groups(sh).select("doc_id", *_minhash_cols())
+    bands = None
+    for b in range(MH_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}").alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    newb = bands.where(is_new).select(F.col("doc_id").alias("new_doc"), "band", "sig")
+    oldb = bands.where(~is_new).select(F.col("doc_id").alias("dup_of"), "band", "sig")
+    cand = newb.join(oldb, ["band", "sig"]).select("new_doc", "dup_of").distinct()
+    x = sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "new_doc")
+        .join(y, "dup_of")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("new_doc", "dup_of", F.round(jac, ROUND).alias("jaccard"))
+    )
+
+
 def _simhash_spark():
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
     votes = [

@@ -55,7 +55,7 @@ MAP_LITERAL_MAX = 10_000
 
 def triples_from_packed(
     packed: DataFrame,
-    mapping: DataFrame,
+    mapping: DataFrame | None,
     map_literal_max: int = MAP_LITERAL_MAX,
 ) -> DataFrame:
     """PACKED mentions + ENTITIES -> TRIPLES in ONE pass, zero joins,
@@ -103,16 +103,23 @@ def triples_from_packed(
 
     from . import mentions as mentions_stage
 
-    # ONE probe serves both paths: probe up to the fallback's own limit so
-    # the join plan can reuse these rows instead of re-collecting the
-    # mapping (two driver jobs over a possibly non-checkpointed mapping
-    # otherwise, for dictionaries between the two thresholds).
-    probe_cap = max(map_literal_max, 100_000)
-    probe = mapping.limit(probe_cap + 1).collect()
-    if len(probe) > map_literal_max:
-        return triples_from_mentions(
-            mentions_stage.explode_mentions(packed), mapping, probe_rows=probe
-        )
+    # mapping=None: pure lexical triples with no canonicalization and no
+    # same_as leg — a map-only plan that also runs on a STREAMING packed
+    # DataFrame (streaming/kg.py ingests lexical triples incrementally;
+    # linking/canonicalization stay periodic batch jobs over the union).
+    if mapping is None:
+        probe = []
+    else:
+        # ONE probe serves both paths: probe up to the fallback's own limit
+        # so the join plan can reuse these rows instead of re-collecting the
+        # mapping (two driver jobs over a possibly non-checkpointed mapping
+        # otherwise, for dictionaries between the two thresholds).
+        probe_cap = max(map_literal_max, 100_000)
+        probe = mapping.limit(probe_cap + 1).collect()
+        if len(probe) > map_literal_max:
+            return triples_from_mentions(
+                mentions_stage.explode_mentions(packed), mapping, probe_rows=probe
+            )
 
     canon = {r["entity_id"]: r["canonical_id"] for r in probe}
     kind_pred = dict(_KIND_PRED)
@@ -169,6 +176,8 @@ def triples_from_packed(
         F.col("lns").alias("line"),
         F.lit(1.0).alias("score"),
     )
+    if mapping is None:
+        return lexical
 
     same_as = mapping.select(
         F.col("entity_id").alias("subj"),

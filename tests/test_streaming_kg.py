@@ -1,0 +1,63 @@
+"""Streaming KG ingest: batch/stream parity and incremental resume.
+
+The lexical triple extraction is a pure map, so the streaming plan over a
+directory written in waves must emit exactly the batch plan's rows — and a
+second availableNow drain after more files land must process ONLY the new
+files (file-source exactly-once)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from kgforge import synth
+from kgforge.stages import materialize, mentions
+from kgforge.streaming import kg
+
+
+def _rows(pdf: pd.DataFrame) -> set[tuple]:
+    return {tuple(r) for r in pdf[["subj", "pred", "obj", "line"]].itertuples(index=False)}
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    files_dir = str(tmp_path / "files")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    wave1 = spark.createDataFrame(synth.synth_files_pdf(60))
+    wave1.write.mode("append").parquet(files_dir)
+
+    q = kg.start_lexical_ingest(spark, files_dir, out_dir, ck_dir)
+    q.awaitTermination()
+
+    got1 = _rows(spark.read.parquet(out_dir).toPandas())
+    batch1 = _rows(
+        materialize.triples_from_packed(
+            mentions.extract_mentions_packed(spark.read.parquet(files_dir)), None
+        ).toPandas()
+    )
+    assert got1 == batch1 and len(got1) > 0
+
+    # wave 2: only the NEW files are processed on resume
+    wave2 = spark.createDataFrame(synth.synth_files_pdf(40, start=60))
+    wave2.write.mode("append").parquet(files_dir)
+    q2 = kg.start_lexical_ingest(spark, files_dir, out_dir, ck_dir)
+    q2.awaitTermination()
+
+    got2 = _rows(spark.read.parquet(out_dir).toPandas())
+    batch_all = _rows(
+        materialize.triples_from_packed(
+            mentions.extract_mentions_packed(spark.read.parquet(files_dir)), None
+        ).toPandas()
+    )
+    assert got2 == batch_all
+    assert len(got2) > len(got1)
+
+
+def test_stream_plan_is_map_only(spark, tmp_path):
+    files_dir = str(tmp_path / "files")
+    spark.createDataFrame(synth.synth_files_pdf(10)).write.mode("append").parquet(files_dir)
+    stream = kg.lexical_triples_stream(kg.read_files_stream(spark, files_dir))
+    assert stream.isStreaming
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    for forbidden in ("Join", "Aggregate", "Sort"):
+        assert forbidden not in plan, plan
