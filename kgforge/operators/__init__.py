@@ -14,6 +14,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         cleaning,
         dedup,
+        graph,
         jsonl_sources,
         kgdocs,
         multimodal,
