@@ -41,23 +41,30 @@ _SQL_STOP = str(list(STOPWORDS))
                                 {_SQL_STOP})) as stop_hits,
              md5(text) as text_md5
       from documents
-    ),
-    survivors as (select text_md5, min(doc_id) as keep_doc from feat group by text_md5)
-    select f.doc_id,
+    )
+    select doc_id,
            case
-             when f.n_tokens < {MIN_TOKENS} then 'too_short'
-             when f.alpha_ratio < {MIN_ALPHA_RATIO} then 'low_alpha'
-             when f.stop_hits = 0 then 'not_english'
-             when f.doc_id <> s.keep_doc then 'exact_dup'
+             when n_tokens < {MIN_TOKENS} then 'too_short'
+             when alpha_ratio < {MIN_ALPHA_RATIO} then 'low_alpha'
+             when stop_hits = 0 then 'not_english'
+             when doc_id <> min(doc_id) over (partition by text_md5) then 'exact_dup'
              else 'kept'
            end as verdict
-    from feat f join survivors s using (text_md5)
+    from feat
     """,
 )
 def corpus_clean(spark, sf_dir):
     """Cleaning verdict per document: too_short / low_alpha / not_english /
     exact_dup / kept, with reject precedence in that order (a short dup is
-    'too_short' — accounting should name the FIRST gate that fired)."""
+    'too_short' — accounting should name the FIRST gate that fired).
+
+    Dup survivorship is a min-over-md5-partition WINDOW, not a
+    groupBy+self-join: the join form would compute the tokenize/feature
+    subtree twice (once per join leg — the double-scan trap the triples
+    stage hit); the window is one shuffle over the already-reduced feature
+    rows."""
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda t: t != "")
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -71,15 +78,15 @@ def corpus_clean(spark, sf_dir):
         F.size(F.array_intersect(toks, stop)).alias("stop_hits"),
         F.md5("text").alias("text_md5"),
     )
-    survivors = feat.groupBy("text_md5").agg(F.min("doc_id").alias("keep_doc"))
+    keep_doc = F.min("doc_id").over(Window.partitionBy("text_md5"))
     verdict = (
         F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
         .when(F.col("alpha_ratio") < MIN_ALPHA_RATIO, "low_alpha")
         .when(F.col("stop_hits") == 0, "not_english")
-        .when(F.col("doc_id") != F.col("keep_doc"), "exact_dup")
+        .when(F.col("doc_id") != keep_doc, "exact_dup")
         .otherwise("kept")
     )
-    return feat.join(survivors, "text_md5").select("doc_id", verdict.alias("verdict"))
+    return feat.select("doc_id", verdict.alias("verdict"))
 
 
 @query(
@@ -94,18 +101,17 @@ def corpus_clean(spark, sf_dir):
                                 {_SQL_STOP})) as stop_hits,
              md5(text) as text_md5
       from documents
-    ),
-    survivors as (select text_md5, min(doc_id) as keep_doc from feat group by text_md5)
-    select case
-             when f.n_tokens < {MIN_TOKENS} then 'too_short'
-             when f.alpha_ratio < {MIN_ALPHA_RATIO} then 'low_alpha'
-             when f.stop_hits = 0 then 'not_english'
-             when f.doc_id <> s.keep_doc then 'exact_dup'
-             else 'kept'
-           end as verdict,
-           count(*)::BIGINT as n_docs
-    from feat f join survivors s using (text_md5)
-    group by 1
+    )
+    select verdict, count(*)::BIGINT as n_docs from (
+      select case
+               when n_tokens < {MIN_TOKENS} then 'too_short'
+               when alpha_ratio < {MIN_ALPHA_RATIO} then 'low_alpha'
+               when stop_hits = 0 then 'not_english'
+               when doc_id <> min(doc_id) over (partition by text_md5) then 'exact_dup'
+               else 'kept'
+             end as verdict
+      from feat
+    ) group by 1
     """,
 )
 def corpus_clean_stats(spark, sf_dir):

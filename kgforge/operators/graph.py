@@ -93,9 +93,7 @@ def concept_pagerank(spark, sf_dir):
     pairs = _doc_pairs(_doc_mentions(spark, sf_dir))
     sym = pairs.select(F.col("c1").alias("src"), F.col("c2").alias("dst")).unionAll(
         pairs.select(F.col("c2").alias("src"), F.col("c1").alias("dst"))
-    )
-    # graph is tiny relative to the corpus (concept vocabulary); cache the
-    # weighted edge list once — every iteration re-reads it
+    ).cache()  # sym feeds deg AND the join leg — uncached it computes twice
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     w = sym.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w")).cache()
     nodes = sym.select(F.col("src").alias("node")).distinct().cache()
