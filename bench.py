@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "kg_doc_triples",
     "word_search",
     "mention_spans",
+    "corpus_clean_stats",
+    "minhash_incremental",
+    "concept_pagerank",
     "pipeline_triples",
 ]
 
