@@ -229,6 +229,104 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+KM_K = 4
+KM_ITERS = 2
+
+# k-means in long form, iterations UNROLLED identically in the oracle
+# (the concept_pagerank determinism trick).  Distances are rounded before
+# the argmin and ties break on cluster id, so the assignment cascade is
+# engine-stable.
+_SQL_KM_BASE = """
+v as (select vec_id, unnest(list_transform(embedding, x -> x::DOUBLE)) as x,
+             unnest(range(len(embedding))) as pos
+      from embeddings)
+"""
+
+
+def _sql_km_assign(cent: str, out: str) -> str:
+    return f"""
+    {out} as (
+      select vec_id, cid as cluster from (
+        select v.vec_id, {cent}.cid,
+               row_number() over (
+                 partition by v.vec_id
+                 order by round(sum((v.x - {cent}.c) * (v.x - {cent}.c)), {ROUND}), {cent}.cid
+               ) as rn
+        from v join {cent} using (pos)
+        group by v.vec_id, {cent}.cid
+      ) where rn = 1
+    )"""
+
+
+def _sql_km_update(assign: str, out: str) -> str:
+    return f"""
+    {out} as (
+      select {assign}.cluster as cid, v.pos, avg(v.x) as c
+      from v join {assign} using (vec_id)
+      group by {assign}.cluster, v.pos
+    )"""
+
+
+_SQL_KM_CHAIN = ",".join(
+    [f" c0 as (select vec_id as cid, pos, x as c from v where vec_id < {KM_K})"]
+    + [
+        part
+        for i in range(KM_ITERS)
+        for part in (
+            _sql_km_assign(f"c{i}", f"a{i}"),
+            _sql_km_update(f"a{i}", f"c{i+1}"),
+        )
+    ]
+    + [_sql_km_assign(f"c{KM_ITERS}", f"a{KM_ITERS}")]
+)
+
+
+@query(
+    "kmeans_assign",
+    oracle=f"""
+    with {_SQL_KM_BASE},
+    {_SQL_KM_CHAIN}
+    select vec_id, cluster from a{KM_ITERS}
+    """,
+)
+def kmeans_assign(spark, sf_dir):
+    """Lloyd k-means (K=4, 2 refinement rounds) as DataFrame iterations —
+    the real 'train the IVF coarse quantizer' step (label_centroids uses
+    label blocks as given cells; this LEARNS them).  Init = the first K
+    vectors (deterministic); each round is one distance aggregate (long
+    form, join on pos) + one argmin window + one mean aggregate — all
+    hash aggregations, centroids broadcast-scale.  Output is the final
+    integer assignment (exact cross-engine hash; float distances only
+    feed the rounded, tie-broken argmin)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.posexplode(_dvec("embedding")).alias("pos", "x")).cache()
+    cent = v.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
+    )
+
+    def assign(cent):
+        d = (
+            v.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), ROUND).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cluster"))
+        )
+
+    for _ in range(KM_ITERS):
+        a = assign(cent)
+        cent = (
+            v.join(a, "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), "pos")
+            .agg(F.avg("x").alias("c"))
+        )
+    return assign(cent)
+
+
 @query(
     "label_centroids",
     oracle=f"""
