@@ -72,6 +72,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from kgforge import synth
+    from kgforge.cachectl import release_caches
     from kgforge.operators import registry
     from kgforge.session import build_session
     import kgforge.operators as ops
@@ -118,6 +119,9 @@ def main() -> None:
             _force(registry.QUERIES[name](spark, sf_dir))
             dt = time.time() - t0
         timings[name] = round(dt, 3)
+        # cache hygiene: builders register their caches with cachectl; a
+        # long-lived session serving many queries must not accumulate them
+        release_caches()
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -143,17 +147,24 @@ def main() -> None:
 
 
 def _latest_prev_round():
-    """(name, parsed json) of the highest-numbered BENCH_r{N}.json, if any."""
+    """(name, parsed json) of the highest-numbered BENCH_r{N}.json — strictly
+    below $KGFORGE_BENCH_ROUND when set, so a re-run inside round N never
+    computes all-zero deltas against the round's own committed artifact."""
     import glob
     import re
 
+    cur = os.environ.get("KGFORGE_BENCH_ROUND")
+    cur_n = int(cur) if cur and cur.isdigit() else None
     best = None
     for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
             continue
-        if best is None or int(m.group(1)) > best[0]:
-            best = (int(m.group(1)), p)
+        n = int(m.group(1))
+        if cur_n is not None and n >= cur_n:
+            continue
+        if best is None or n > best[0]:
+            best = (n, p)
     if best is None:
         return None
     try:

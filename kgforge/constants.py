@@ -107,15 +107,33 @@ SHUFFLE_PARTITIONS = 32
 
 
 def round_half_away(value: float, nd: int) -> float:
-    """Round half AWAY from zero (non-negative inputs), matching Spark's
-    F.round and DuckDB's round().  Python's built-in round is banker's
-    (half-to-even) and disagrees on exact .xxx5 boundaries — which occur
-    routinely when counts divide power-of-two totals.  Shared by every
-    site that rounds outside a Spark/DuckDB expression (fixture
-    generation, numpy UDF kernels) so the contract lives in one place."""
+    """Round half AWAY from zero on the BINARY double value — this matches
+    DuckDB's round() (which sees the stored binary double), NOT Spark's
+    F.round: Spark goes through BigDecimal.valueOf(double), i.e. the
+    shortest-decimal string, then HALF_UP, so e.g. 0.285 (stored as
+    0.28499999...) rounds to 0.28 here and in DuckDB but to 0.29 in Spark.
+    Use this in Python kernels whose output is compared against a DuckDB
+    expression (operators/multimodal.py features); use ``round_like_spark``
+    for values compared against Spark F.round output (oracle fixtures)."""
     import math
 
     return math.floor(value * 10**nd + 0.5) / 10**nd
+
+
+def round_like_spark(value: float, nd: int) -> float:
+    """Round matching Spark's F.round on doubles bit-for-bit: Spark rounds
+    BigDecimal.valueOf(double) — the SHORTEST-DECIMAL representation
+    (Double.toString) — with HALF_UP (away from zero).  Python's repr()
+    produces the same shortest round-trip decimal string, so quantizing
+    Decimal(repr(v)) with ROUND_HALF_UP reproduces it exactly, including
+    the 0.285 -> 0.29 boundary where binary rounding says 0.28.  Fixture
+    values are exact-compared against Spark F.round output by the driver,
+    so fixture generation (oracle/fixtures.py) MUST use this path."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(value))).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
 SALT_BUCKETS = 8         # salting fan-out for skewed (repo, lang) partitions
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..cachectl import tracked_cache
 from .registry import ROUND, query, table
 
 MH_HASHES = 8
@@ -173,7 +174,7 @@ def minhash_near_dup_pairs(spark, sf_dir):
     candidates, exact shingle Jaccard verifies (so precision is 1.0 and
     recall is the banding probability — same verify-after-block shape as
     stages/link.py)."""
-    sh = _shingles_df(spark, sf_dir).cache()
+    sh = tracked_cache(_shingles_df(spark, sf_dir))
     sigs = _md5_groups(sh).select("doc_id", *_minhash_cols())
     bands = None
     for b in range(MH_BANDS):
@@ -239,7 +240,7 @@ def minhash_incremental(spark, sf_dir):
     persisted index and only the new partition is shingled.  Same
     verify-after-block structure as minhash_near_dup_pairs, so precision
     stays 1.0 and cost is proportional to the new batch."""
-    sh = _shingles_df(spark, sf_dir).cache()
+    sh = tracked_cache(_shingles_df(spark, sf_dir))
     sigs = _md5_groups(sh).select("doc_id", *_minhash_cols())
     bands = None
     for b in range(MH_BANDS):

@@ -1,25 +1,39 @@
-"""Graph analytics over the materialized concept graph — the consumer-side
-operators a KG is built FOR: degree statistics and a fixed-iteration
-PageRank over the symmetrized concept co-occurrence edges (the kg_doc_pairs
-output re-used as input, the way a downstream ranking job would).
+"""Graph analytics over materialized KG output — the consumer-side
+operators a KG is built FOR: degree statistics and fixed-iteration
+PageRank (the /root/reference/experiments/uaz_documents_comparison.py:54-66
+concept-ranking consumer, generalized).
 
-PageRank is the canonical iterative DataFrame algorithm: contributions =
-rank/out-degree flow along edges, one shuffle per iteration, lineage
-truncated per round at scale (the CC stage's localCheckpoint pattern).
-Iterations are FIXED (3) and unrolled identically in the DuckDB oracle, so
-the driver hash-gates the whole computation — the same determinism trick
-as the rounded-score total orders.
+Two registered graph inputs:
 
-Scale notes: contributions are one groupBy per iteration (AQE-skew-safe);
-the per-node degree factor is computed once and joined into the edge list
-before iterating, so each round touches only (src, dst, w) + the rank
-vector.  No collect, no UDF.
+- the concept co-occurrence graph (kg_doc_pairs output re-used as input) —
+  tiny, and its oracle UNROLLS the iterations as a CTE chain, so the
+  driver hash-gates the whole computation (``concept_pagerank``);
+- the REAL pipeline triple graph: ``entity_pagerank`` runs the full
+  mentions -> links -> components -> materialize pipeline over the
+  deterministic synthetic corpus, derives the entity edge set from the
+  emitted (subj, pred, obj) triples, and ranks entities with the SCALE
+  path (lineage truncated per round via localCheckpoint — the CC stage's
+  pattern).  Its oracle recomputes the same ranks in DuckDB from the
+  committed twin triple fixture, so the iterative job is still hard
+  value-hash-gated.
+
+Scale notes: ``pagerank`` takes any (src, dst) edge DataFrame;
+contributions are one groupBy per iteration (AQE-skew-safe); the per-node
+out-degree factor is computed once and joined into the edge list before
+iterating, so each round touches only (src, dst, w) + the rank vector.
+With ``checkpoint=True`` every round's rank vector is localCheckpointed,
+truncating lineage so iteration count never grows the plan — required on
+a million-entity graph, measured at 1M-file scale in bench/scaling.py.
+Intermediates are cached through cachectl so a long-lived session can
+release them after the plan is forced.  No collect, no UDF.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cachectl import tracked_cache
 from .kgdocs import SQL_DOC_PAIRS, _doc_mentions, _doc_pairs
 from .registry import ROUND, query
 
@@ -59,6 +73,53 @@ _SQL_PR_CHAIN = ",".join(
 )
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed (src, dst) edge DataFrame.
+
+    ``checkpoint=True`` localCheckpoints the rank vector each round —
+    truncating lineage so plan size is O(1) in iteration count (mandatory
+    at entity-graph scale; left False for the toy concept query whose
+    oracle unrolls the identical CTE chain).
+    """
+    sym = tracked_cache(edges)  # feeds deg AND the join leg
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    w = tracked_cache(
+        sym.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
+    )
+    nodes = tracked_cache(sym.select(F.col("src").alias("node")).distinct())
+    n = nodes.count()
+
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            w.join(ranks, w["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("r")).alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("r"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def _concept_edges(spark, sf_dir) -> DataFrame:
+    pairs = _doc_pairs(_doc_mentions(spark, sf_dir))
+    return pairs.select(F.col("c1").alias("src"), F.col("c2").alias("dst")).unionAll(
+        pairs.select(F.col("c2").alias("src"), F.col("c1").alias("dst"))
+    )
+
+
 @query(
     "concept_degrees",
     oracle=f"""
@@ -68,11 +129,7 @@ _SQL_PR_CHAIN = ",".join(
 )
 def concept_degrees(spark, sf_dir):
     """Degree per concept node of the symmetrized co-occurrence graph."""
-    pairs = _doc_pairs(_doc_mentions(spark, sf_dir))
-    sym = pairs.select(F.col("c1").alias("src"), F.col("c2").alias("dst")).unionAll(
-        pairs.select(F.col("c2").alias("src"), F.col("c1").alias("dst"))
-    )
-    return sym.groupBy(F.col("src").alias("concept")).agg(
+    return _concept_edges(spark, sf_dir).groupBy(F.col("src").alias("concept")).agg(
         F.count(F.lit(1)).alias("degree")
     )
 
@@ -90,30 +147,70 @@ def concept_pagerank(spark, sf_dir):
     """PR_ITERS-iteration PageRank (damping 0.85) over the concept graph,
     initialized uniform; iterations unrolled identically in the oracle's
     CTE chain; rounded for the cross-engine hash."""
-    pairs = _doc_pairs(_doc_mentions(spark, sf_dir))
-    sym = pairs.select(F.col("c1").alias("src"), F.col("c2").alias("dst")).unionAll(
-        pairs.select(F.col("c2").alias("src"), F.col("c1").alias("dst"))
-    ).cache()  # sym feeds deg AND the join leg — uncached it computes twice
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    w = sym.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w")).cache()
-    nodes = sym.select(F.col("src").alias("node")).distinct().cache()
-    n = nodes.count()
-
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            w.join(ranks, w["src"] == ranks["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("w") * F.col("r")).alias("contrib"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit((1 - DAMPING) / n)
-                + F.lit(DAMPING) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("r"),
-        )
-        # at scale: ranks = ranks.localCheckpoint() per round (CC pattern);
-        # at concept-vocabulary size the unrolled lineage is fine and keeps
-        # the plan equal to the oracle's CTE chain
+    ranks = pagerank(_concept_edges(spark, sf_dir))
     return ranks.select(F.col("node").alias("concept"), F.round("r", ROUND).alias("rank"))
+
+
+# -------------------------------------------------- pipeline entity graph
+# PageRank over the REAL KG output: the full pipeline runs on the synthetic
+# corpus, the edge set is the emitted triple graph itself (subj -> obj of
+# every non-identity triple, symmetrized, deduped), and ranking uses the
+# scale path (per-round localCheckpoint).  The oracle re-derives the same
+# edges from the committed twin triple fixture (fixtures/twin_triples.parquet,
+# drift-guarded) and unrolls the identical PR chain in SQL — so the
+# iterative job over pipeline output is hard value-hash-gated end-to-end.
+
+_SQL_ENTITY_EDGES_TMPL = """
+tri as (select subj, obj from read_parquet('{path}') where subj <> obj),
+und as (select distinct subj as src, obj as dst from tri
+        union
+        select distinct obj as src, subj as dst from tri),
+sym as (select src, dst from und),
+nodes as (select distinct src as node from sym),
+nn as (select count(*)::DOUBLE as n from nodes),
+deg as (select src, count(*)::DOUBLE as d from sym group by src),
+w as (select sym.src, sym.dst, 1.0 / deg.d as w from sym join deg using (src))
+"""
+
+
+def triple_edges(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj) triples -> symmetrized distinct (src, dst) edges.
+    Self-loops dropped (an entity citing its own definition carries no
+    ranking signal); union (not unionAll) + distinct dedups parallel
+    predicates between the same endpoints."""
+    tri = triples.where(F.col("subj") != F.col("obj")).select("subj", "obj")
+    return (
+        tri.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .unionByName(tri.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+        .distinct()
+    )
+
+
+def _entity_pr_oracle() -> str:
+    from ..oracle.fixtures import fixture_path
+
+    return f"""
+    with {_SQL_ENTITY_EDGES_TMPL.format(path=fixture_path('triples'))},
+    {_SQL_PR_CHAIN}
+    select node as entity, round(r, {ROUND}) as rank
+    from r{PR_ITERS}
+    """
+
+
+@query("entity_pagerank", oracle=_entity_pr_oracle())
+def entity_pagerank(spark, sf_dir):
+    """PageRank over the pipeline's emitted triple graph (consumer-side
+    entity ranking, /root/reference/experiments/uaz_documents_comparison.py:
+    54-66 generalized to the code KG).  Runs the REAL pipeline — packed
+    mention extraction, LSH-blocked linking, distributed CC, materialize —
+    then ranks with the scale path (localCheckpoint per round)."""
+    from ..stages import canonical, embed, link, materialize, mentions
+    from .kgdocs import _synth
+
+    men_packed = mentions.extract_mentions_packed(_synth(spark))
+    men = mentions.explode_mentions(men_packed)
+    links = link.candidate_links(embed.embed_mentions(men))
+    ents = canonical.connected_components(links)
+    triples = materialize.triples_from_packed(men_packed, ents)
+    ranks = pagerank(triple_edges(triples), checkpoint=True)
+    return ranks.select(F.col("node").alias("entity"), F.round("r", ROUND).alias("rank"))

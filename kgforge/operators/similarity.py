@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..cachectl import tracked_cache
 from .registry import ROUND, query, table
 
 N_QUERIES = 5          # vec_id < 5 are the query vectors
@@ -299,7 +300,7 @@ def kmeans_assign(spark, sf_dir):
     integer assignment (exact cross-engine hash; float distances only
     feed the rounded, tie-broken argmin)."""
     e = table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", F.posexplode(_dvec("embedding")).alias("pos", "x")).cache()
+    v = tracked_cache(e.select("vec_id", F.posexplode(_dvec("embedding")).alias("pos", "x")))
     cent = v.where(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
     )

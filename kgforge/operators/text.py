@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..cachectl import tracked_cache
 from .registry import ROUND, query, table
 
 QUERY_TERMS = ("spark", "join", "window", "fast")
@@ -139,7 +140,7 @@ def cosine_tfidf_search(spark, sf_dir):
     (/root/reference/search/tf_idf_search.py:79-85)."""
     docs = table(spark, sf_dir, "documents")
     tf = _tf(docs)
-    idf = _idf(tf, docs.count()).cache()
+    idf = tracked_cache(_idf(tf, docs.count()))
     w = tf.join(idf, "term").select(
         "doc_id", "term", F.round(F.col("tf") * F.col("idf"), ROUND).alias("w")
     )

@@ -17,9 +17,10 @@ asserts frame equality (so a constants/lexer change that silently shifts
 pipeline semantics fails the suite until the fixtures are re-generated with
 ``python -m kgforge.oracle.fixtures``).
 
-Rounding: scores are rounded HALF-AWAY at registry.ROUND decimals, matching
-Spark's F.round and DuckDB's round (Python's built-in round is banker's and
-disagrees on exact .xxxx5 boundaries).
+Rounding: scores are rounded at registry.ROUND decimals through the same
+shortest-decimal-string HALF_UP path Spark's F.round uses
+(constants.round_like_spark) — NOT binary half-away, which DuckDB's round()
+uses and which disagrees with Spark on boundaries like 0.285.
 """
 
 from __future__ import annotations
@@ -43,8 +44,11 @@ STAGES = ("mentions", "links", "entities", "triples")
 
 
 def _round_away(s: pd.Series, nd: int = ROUND) -> pd.Series:
-    """Vectorized constants.round_half_away (the shared rounding contract)."""
-    return s.astype("float64").map(lambda v: constants.round_half_away(v, nd))
+    """Vectorized constants.round_like_spark: fixture scores are compared
+    EXACTLY against Spark F.round output, so they must round through the
+    same shortest-decimal-string HALF_UP path Spark uses (0.285 -> 0.29,
+    where binary half-away and DuckDB's round() both say 0.28)."""
+    return s.astype("float64").map(lambda v: constants.round_like_spark(v, nd))
 
 
 def twin_stage_tables(n_files: int = SYNTH_N) -> dict[str, pd.DataFrame]:
