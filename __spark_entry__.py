@@ -7,11 +7,12 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 All queries live in ``kgforge/operators/`` (self-registering; each module
 keeps its Spark plan and DuckDB oracle adjacent so aliases stay in sync).
-The four pipeline_* stages are oracle-gated against the pandas twin's
-precomputed outputs (fixtures/twin_*.parquet — the iterative CC stage is
-not SQL-expressible, so the independent twin supplies the expected rows);
-the remaining rows-only entries (word_search_vec, subword_highlight_spans)
-are differentialed in pytest instead.
+The four pipeline_* stages and entity_pagerank are oracle-gated against the
+pandas twin's precomputed outputs (fixtures/twin_*.parquet — the iterative
+CC stage is not SQL-expressible, so the independent twin supplies the
+expected rows); word_search_vec reads the twin's similarity fixture
+(fixtures/word_sims.parquet) for the embedding cosines DuckDB cannot
+recompute.  Every registered query has a hard oracle.
 """
 
 from __future__ import annotations

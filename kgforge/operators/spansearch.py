@@ -117,18 +117,82 @@ from merged group by doc_id
 """
 
 
-@query("subword_highlight_spans")
+# The matched subword-piece set: every fixed-width piece of every query
+# term (prefix-stripped), shared by the Spark kernel and the SQL oracle.
+MATCH_PIECES = tuple(
+    sorted(
+        {
+            p.removeprefix("##")
+            for t in SPAN_TERMS
+            for p in spanlib.wordpiece_ish(t)[0]
+        }
+    )
+)
+_SQL_PIECES = "[" + ", ".join(f"'{p}'" for p in MATCH_PIECES) + "]"
+
+# The subword-highlight chain is SQL-expressible because the repair step's
+# semantics collapse: every matched piece extends to its WHOLE word's token
+# span (wordpiece_ish guarantees word-initial pieces are unprefixed), and
+# merge_spans runs in TOKEN index space where consecutive words are always
+# adjacent — so matched words merge iff they are consecutive words of the
+# document, and each merged run maps to (first word's char start, last
+# word's char end).  The oracle derives exactly that relationally:
+#   1. explode chars, keep \w chars, first gaps-and-islands pass -> words
+#      with char offsets and a per-doc word index k;
+#   2. a word matches iff any of its fixed-width-4 pieces is in the piece
+#      set (list_filter over chunk starts — the wordpiece_ish chunking);
+#   3. second islands pass over consecutive matched word indices ->
+#      merged char spans.
+_SQL_SUBWORD_SPANS = rf"""
+with d as (select doc_id, lower(text) as lo from documents),
+chars as (select doc_id, unnest(range(length(lo))) as i, lo from d),
+wchars as (
+  select doc_id, i
+  from (select doc_id, i, substr(lo, (i+1)::INT, 1) as ch from chars)
+  where regexp_matches(ch, '[A-Za-z0-9_]')
+),
+words as (
+  select doc_id, min(i)::INT as ws, (max(i)+1)::INT as we,
+         row_number() over (partition by doc_id order by min(i)) as k
+  from (select doc_id, i,
+               i - row_number() over (partition by doc_id order by i) as g
+        from wchars)
+  group by doc_id, g
+),
+matched as (
+  select w.doc_id, w.ws, w.we, w.k
+  from words w join d using (doc_id)
+  where len(list_filter(
+          range((w.we - w.ws + 3) // 4),
+          j -> list_contains({_SQL_PIECES},
+                             substr(substr(d.lo, w.ws + 1, w.we - w.ws),
+                                    (j * 4 + 1)::INT, 4)))) > 0
+),
+islands as (
+  select doc_id, min(ws) as s, max(we) as e
+  from (select doc_id, ws, we,
+               k - row_number() over (partition by doc_id order by k) as g2
+        from matched)
+  group by doc_id, g2
+)
+select doc_id, count(*)::BIGINT as n_spans,
+       string_agg(s || ':' || e, ';' order by s) as spans_csv
+from islands group by doc_id
+"""
+
+
+@query("subword_highlight_spans", oracle=_SQL_SUBWORD_SPANS)
 def subword_highlight_spans(spark, sf_dir):
-    """T5+T6 data path (rows-only; kernels unit/property-tested): subword
-    tokenize each document (deterministic wordpiece stand-in), match pieces
-    of the query terms, repair matches across '##' continuations to
-    whole-word token spans, and map token spans to char spans — the
-    highlight_llm chain of /root/reference/experiments/search_highlight.py:
-    114-163 with the model swapped for the deterministic tokenizer."""
-    match_pieces = set()
-    for t in SPAN_TERMS:
-        toks, _ = spanlib.wordpiece_ish(t)
-        match_pieces.update(p.removeprefix("##") for p in toks)
+    """T5+T6 data path: subword tokenize each document (deterministic
+    wordpiece stand-in), match pieces of the query terms, repair matches
+    across '##' continuations to whole-word token spans, and map token
+    spans to char spans — the highlight_llm chain of
+    /root/reference/experiments/search_highlight.py:114-163 with the model
+    swapped for the deterministic tokenizer.  The oracle re-derives the
+    merged spans relationally (see _SQL_SUBWORD_SPANS), hard-gating the
+    subword kernels (repair_subword_spans, tokens_to_char_span) that were
+    rows-only through round 2."""
+    match_pieces = set(MATCH_PIECES)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,7 +214,7 @@ def subword_highlight_spans(spark, sf_dir):
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
-            StructField("n_spans", IntegerType(), False),
+            StructField("n_spans", LongType(), False),
             StructField("spans_csv", StringType(), False),
         ]
     )

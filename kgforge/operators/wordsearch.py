@@ -269,15 +269,56 @@ def _sims_dense(spark, doc_tokens):
     )
 
 
-@query("word_search_vec")
+def _sql_word_vec_base() -> str:
+    """A6/A7 chain over the PRECOMPUTED dense similarity fixture
+    (fixtures/word_sims.parquet — the twin's bit-exact replica of the
+    Spark zip_with/aggregate dot, for the union of test-SF vocabularies;
+    superset-safe because toks inner-joins it down to the current corpus).
+    DuckDB cannot recompute the hashed-projection embeddings itself, so
+    the fixture supplies sims and SQL supplies the aggregation chain."""
+    from ..oracle.fixtures import word_sims_path
+
+    return rf"""
+    toks as (
+      select doc_id, term, count(*)::BIGINT as cnt
+      from (select doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) as term
+            from documents)
+      where term <> '' group by doc_id, term
+    ),
+    sims as (select term, q_term, sim from read_parquet('{word_sims_path()}')),
+    agg as (
+      select doc_id, q_term, sum(cnt * sim) as tf, max(sim) as mx
+      from toks join sims using (term) group by doc_id, q_term
+    ),
+    idf as (
+      select q_term, (select count(*) from documents)::DOUBLE / sum(mx) as idf
+      from agg group by q_term
+    )
+    """
+
+
+@query(
+    "word_search_vec",
+    oracle=f"""
+    with {_sql_word_vec_base()}
+    select doc_id, round(s, {ROUND}) as score from (
+      select doc_id, sum(tf * log2(idf)) as s
+      from agg join idf using (q_term) group by doc_id
+    )
+    order by round(s, {ROUND}) desc, doc_id
+    limit {TOPK}
+    """,
+)
 def word_search_vec(spark, sf_dir):
-    """Rows-only: word-level search over the DENSE hashed n-gram token
-    embeddings (the V2 table) — same A6/A7/A8 aggregation plan as
-    ``word_search`` with cosine computed from real array<float> vectors.
-    Dense cosines are signed and rarely exactly zero, so no positive-sim
-    filter is applied (the zero-measure case the trigram kernel prunes).
-    Correctness gate: tests/test_wordsearch.py differentials this against a
-    reference-style [N, T_q, T_d] numpy tensor implementation."""
+    """Word-level search over the DENSE hashed n-gram token embeddings
+    (the V2 table) — same A6/A7/A8 aggregation plan as ``word_search``
+    with cosine computed from real array<float> vectors.  Dense cosines
+    are signed and rarely exactly zero, so no positive-sim filter is
+    applied (the zero-measure case the trigram kernel prunes).
+    Correctness gates: the driver oracle over the committed sims fixture
+    (drift-guarded in tests/test_twin_fixtures.py), plus
+    tests/test_wordsearch.py's differential against a reference-style
+    [N, T_q, T_d] numpy tensor implementation."""
     docs = table(spark, sf_dir, "documents")
     dt = _doc_tokens(spark, sf_dir)
     agg = _word_agg(dt, _sims_dense(spark, dt))

@@ -26,7 +26,9 @@ uses and which disagrees with Spark on boundaries like 0.285.
 from __future__ import annotations
 
 import os
+import re
 
+import numpy as np
 import pandas as pd
 
 from .. import constants, synth
@@ -85,13 +87,65 @@ def fixture_path(stage: str) -> str:
     return os.path.join(FIXTURE_DIR, f"twin_{stage}.parquet")
 
 
+# ------------------------------------------------- word_search_vec sims
+# The dense word-level search (operators/wordsearch.py word_search_vec)
+# scores with cosines of the hashed n-gram embeddings, which DuckDB cannot
+# recompute (seeded RandomState projections).  The twin precomputes the
+# (term, q_term, sim) similarity table for the UNION of the sf0.001 and
+# sf0.01 document vocabularies (a superset is safe: the oracle inner-joins
+# it to the current corpus's token table, so extra terms never surface) and
+# commits it as a fixture the DuckDB oracle read_parquet's; the A6/A7/A8
+# aggregation chain then runs in SQL on top, giving the dense path the same
+# hard driver gate as the trigram path.
+
+WORD_SIMS_SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+
+def _spark_f4_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Bit-exact twin of the Spark expression
+    aggregate(zip_with(vec, q_vec, x*y), 0.0D, s+v): elementwise products
+    in FLOAT32 (both array<float> columns), accumulated LEFT-TO-RIGHT into
+    a DOUBLE.  numpy's pairwise-summed sum() would differ in the last ulp,
+    so the fold is an explicit Python loop."""
+    prods = a.astype(np.float32) * b.astype(np.float32)
+    s = 0.0
+    for p in prods.tolist():  # tolist widens f4 -> Python float exactly
+        s += p
+    return s
+
+
+def word_sims_table(sf_dirs=WORD_SIMS_SF_DIRS) -> pd.DataFrame:
+    from ..operators.wordsearch import QUERY_TERMS
+
+    terms: set[str] = set()
+    for d in sf_dirs:
+        for text in pd.read_parquet(
+            os.path.join(d, "documents.parquet"), columns=["text"]
+        )["text"]:
+            terms.update(w for w in re.split(r"\W+", text.lower()) if w)
+    vocab = sorted(terms)
+    qvecs = {q: constants.embed_text(q) for q in QUERY_TERMS}
+    rows = [
+        (t, q, _spark_f4_dot(constants.embed_text(t), qv))
+        for t in vocab
+        for q, qv in qvecs.items()
+    ]
+    return pd.DataFrame(rows, columns=["term", "q_term", "sim"])
+
+
+def word_sims_path() -> str:
+    return os.path.join(FIXTURE_DIR, "word_sims.parquet")
+
+
 def generate(out_dir: str = FIXTURE_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for stage, pdf in twin_stage_tables().items():
         pdf.to_parquet(os.path.join(out_dir, f"twin_{stage}.parquet"), index=False)
+    word_sims_table().to_parquet(os.path.join(out_dir, "word_sims.parquet"), index=False)
 
 
 if __name__ == "__main__":
     generate()
     for s in STAGES:
         print(fixture_path(s), len(pd.read_parquet(fixture_path(s))))
+    print(word_sims_path(), len(pd.read_parquet(word_sims_path())))

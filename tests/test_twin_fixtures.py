@@ -25,3 +25,11 @@ def test_committed_fixture_matches_twin(fresh, stage):
     pd.testing.assert_frame_equal(
         committed.reset_index(drop=True), fresh[stage].reset_index(drop=True)
     )
+
+
+def test_committed_word_sims_matches_twin():
+    committed = pd.read_parquet(fixtures.word_sims_path())
+    fresh = fixtures.word_sims_table()
+    pd.testing.assert_frame_equal(
+        committed.reset_index(drop=True), fresh.reset_index(drop=True)
+    )
