@@ -59,3 +59,28 @@ def test_rows_only_queries_run(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_embedding_lsh_neardup_recall(spark, sf_dir):
+    """The cross-label LSH near-dup variant must recover (nearly all of)
+    the brute-force global top-20 pairs.  This corpus has NO true
+    near-dups (top cosine ~0.48), which is the adversarial case for sign
+    bands — at real near-dup cosines (>=0.9) band recall is ~1.0 — so the
+    bound here is deliberately the measured floor."""
+    from pyspark.sql import functions as F
+
+    e = QUERIES["knn_bruteforce"].__globals__["table"](spark, sf_dir, "embeddings")
+    from kgforge.operators.similarity import _cos
+
+    x = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    y = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    brute = (
+        x.crossJoin(y)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(_cos("ea", "eb"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+    want = {(r.a, r.b) for r in brute.collect()}
+    got = {(r.a, r.b) for r in QUERIES["embedding_near_dups_lsh"](spark, sf_dir).collect()}
+    assert len(want & got) / len(want) >= 0.9
