@@ -233,7 +233,32 @@ def triples_from_mentions(
         F.col("line"),
         F.lit(1.0).alias("score"),
     )
+    return canonicalize_lexical(
+        lexical,
+        mapping,
+        broadcast_map=broadcast_map,
+        prefilter_limit=prefilter_limit,
+        probe_rows=probe_rows,
+    )
 
+
+def canonicalize_lexical(
+    lexical: DataFrame,
+    mapping: DataFrame,
+    broadcast_map: bool = True,
+    prefilter_limit: int = 100_000,
+    probe_rows: list | None = None,
+) -> DataFrame:
+    """LEXICAL triples (subj, pred, obj, line, score — raw objs, already
+    per-file first-occurrence-deduped on RAW keys) + canonical mapping ->
+    canonical TRIPLES.  This is the tail of ``triples_from_mentions``,
+    factored out so the streaming compaction job (streaming/kg.py) can
+    canonicalize ACCUMULATED lexical triples without re-lexing: applying
+    the mapping to objs, re-deduping the (broadcast-sized) collision
+    sliver with min-line survivorship, and unioning the same_as leg is
+    exactly what the batch path does after its lexical projection — which
+    is why compaction output equals the batch pipeline's triples
+    (tests/test_streaming_kg.py parity test)."""
     bc = F.broadcast if broadcast_map else (lambda df: df)
     # One dictionary covering every obj that can participate in a
     # post-canonicalization collision: linked names (-> their canonical id)
@@ -258,7 +283,7 @@ def triples_from_mentions(
             {(r["entity_id"], r["canonical_id"]) for r in probe}
             | {(r["canonical_id"], r["canonical_id"]) for r in probe}
         )
-        spark = mentions.sparkSession
+        spark = lexical.sparkSession
         if not pairs:
             # empty mapping: nothing links, nothing can collide
             return lexical.select("subj", "pred", "obj", "line", "score")
