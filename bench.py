@@ -41,8 +41,12 @@ BENCH_QUERIES = [
     "exact_dup_groups",
     "knn_bruteforce",
     "ann_lsh_topk",
+    "ann_ivf_kmeans_topk",
     "nearest_centroid",
     "embedding_near_dups",
+    "embedding_near_dups_lsh",
+    "word_search_vec",
+    "subword_highlight_spans",
     "kg_doc_mentions",
     "kg_doc_triples",
     "word_search",

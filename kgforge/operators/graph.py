@@ -95,6 +95,13 @@ def pagerank(
     n = nodes.count()
 
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    # Per-round plan (audited): the rank vector broadcasts into the edge
+    # join (the edge table is NEVER reshuffled), and the contribution
+    # groupBy partial-aggregates map-side, so the only shuffle per round
+    # moves O(V x partitions) rows, not O(E).  A repartition("src")+cache
+    # of w was measured and REJECTED: with ranks broadcast it only adds
+    # exchanges.  (If V outgrows the broadcast threshold, pre-partitioning
+    # w by src becomes the right knob — AQE will flip the join to SMJ.)
     for _ in range(iters):
         contrib = (
             w.join(ranks, w["src"] == ranks["node"])
