@@ -37,7 +37,10 @@ BENCH_QUERIES = [
     "cosine_tfidf_search",
     "doc_fingerprint",
     "simhash",
+    "simhash_near_dups",
     "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
     "exact_dup_groups",
     "knn_bruteforce",
     "ann_lsh_topk",

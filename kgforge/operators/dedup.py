@@ -4,8 +4,11 @@ training-data-pipeline dedup family, each as a first-class query:
 - exact dedup: hash-groupBy on the full text
 - MinHash + LSH: shingle -> k minhashes -> banded bucket join -> exact
   Jaccard verification (precision 1 by construction)
+- exact n-gram Jaccard: prefix-filtered set-similarity self-join
+  (PPJoin-style) — recall 1.0 by theorem, no all-pairs join
 - SimHash: tf-weighted bit votes over token hashes, pure JVM expressions
-- embedding-cosine near-dup: top pairs within label blocks.
+- embedding-cosine near-dup: top pairs within label blocks, plus a
+  sign-LSH-banded variant that finds cross-label near-dups.
 
 Everything runs as built-in expressions (md5/conv/bit ops) — no Python in
 any hot path; the banded self-join is the same blocking pattern as the
@@ -482,3 +485,264 @@ def embedding_near_dups_lsh(spark, sf_dir):
         .select("a", "b", F.round(dot / (F.col("na") * F.col("nb")), ROUND).alias("score"))
     )
     return pairs.orderBy(F.desc("score"), F.asc("a"), F.asc("b")).limit(NEARDUP_TOPK)
+
+
+# ------------------------------------------- exact n-gram Jaccard join
+# The EXACT counterpart to the MinHash path: a prefix-filtered set-
+# similarity self-join (PPJoin-style; Xiao et al., WWW'08 — public
+# algorithm).  MinHash banding is probabilistic (recall = banding
+# probability); the prefix filter is a THEOREM: order every doc's shingles
+# by a global total order (rarest-first by document frequency), keep only
+# the first  n - ceil(t*n) + 1  shingles of each doc as its "prefix", and
+# any pair with Jaccard >= t is guaranteed to collide on at least one
+# prefix shingle.  Candidates therefore come from an inverted-index
+# equi-join on PREFIX shingles only (rarest-first ordering makes those the
+# least frequent postings), a length filter (t*|A| <= |B| <= |A|/t) prunes
+# mismatched sizes before verification, and exact Jaccard verifies — so
+# both precision AND recall are 1.0 by construction.
+#
+# Scale shape: one shuffle to count shingle document frequency, one
+# per-doc window (partitioned by doc_id — never global), and the candidate
+# join touches only prefix postings, whose lists are short precisely
+# because the ordering puts rare shingles first.  No all-pairs anywhere.
+
+
+# CTE body shared by the pairs query and the cluster query's oracle.
+_SQL_NGRAM_PAIRS = f"""
+    sh as ({_SQL_SHINGLES}),
+    ex as (select doc_id, len(sh) as n, unnest(sh) as s from sh),
+    dfreq as (select s, count(*) as df from ex group by s),
+    prefix as (
+      select doc_id, n, s from (
+        select ex.doc_id, ex.n, ex.s,
+               row_number() over (partition by ex.doc_id order by dfreq.df, ex.s) as rn
+        from ex join dfreq using (s)
+      ) where rn <= n - ceil({JACCARD_THRESHOLD} * n) + 1
+    ),
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from prefix a join prefix b on a.s = b.s
+      where a.doc_id < b.doc_id
+        and b.n >= {JACCARD_THRESHOLD} * a.n
+        and a.n >= {JACCARD_THRESHOLD} * b.n
+    ),
+    ngram_pairs as (
+      select doc_a, doc_b,
+             round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                   / len(list_distinct(x.sh || y.sh)), {ROUND}) as jaccard
+      from cand join sh x on x.doc_id = doc_a join sh y on y.doc_id = doc_b
+      where len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh))
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"with {_SQL_NGRAM_PAIRS} select doc_a, doc_b, jaccard from ngram_pairs",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup join via prefix filtering: every pair
+    with Jaccard >= JACCARD_THRESHOLD is found (recall 1.0 — a guarantee
+    MinHash banding cannot give), yet no all-pairs join ever runs.  Same
+    shingle table and verify step as minhash_near_dup_pairs, so the two
+    queries differ ONLY in the candidate-proposal strategy; a pytest
+    superset check pins exact ⊇ minhash on the same corpus."""
+    sh = tracked_cache(_shingles_df(spark, sf_dir))
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    prefix = (
+        ex.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1)
+        .select("doc_id", "n", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.lit(JACCARD_THRESHOLD) * F.col("na"))
+            & (F.col("na") >= F.lit(JACCARD_THRESHOLD) * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, ROUND).alias("jaccard"))
+    )
+
+
+# --------------------------------------------- SimHash Hamming near-dups
+# Completes the SimHash path: `simhash` emits signatures, this finds the
+# near-dup PAIRS.  Pigeonhole banding makes the blocking exact: split the
+# 32-bit signature into HD_MAX+1 contiguous chunks — any pair within
+# Hamming distance HD_MAX must agree EXACTLY on at least one chunk
+# (HD_MAX+1 chunks cannot all contain one of <= HD_MAX differing bits) —
+# so candidates are an equi-join on (chunk index, chunk value) and
+# bit_count(xor) verifies.  Recall 1.0 by theorem, precision 1.0 by the
+# verify.  Scale note: random signatures collide on a chunk at
+# HD_CHUNKS/2^HD_BITS per pair — quadratic in corpus size with a small
+# constant, so chunk width is the scale knob: at web scale you widen the
+# signature (64/128-bit SimHash) so each of the HD_MAX+1 chunks carries
+# 16-32 bits (65k-4B buckets), keeping expected bucket occupancy — and
+# with it candidate volume — bounded.  The 32-bit/8-bit layout here
+# matches the 32-bit signature `simhash` emits; the join shape is
+# identical at any width.
+HD_MAX = 3
+HD_CHUNKS = HD_MAX + 1
+HD_BITS = SIMHASH_BITS // HD_CHUNKS
+
+_SQL_SIMHASH_TBL = f"""
+    select doc_id, ({_SQL_SIMHASH_COMBINE})::BIGINT as simhash
+    from (
+      select doc_id, {_SQL_SIMHASH_VOTES}
+      from (select doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT as h
+            from (select doc_id,
+                         unnest(regexp_split_to_array(lower(text), '\\W+')) as term
+                  from documents)
+            where term <> '')
+      group by doc_id
+    )
+"""
+
+_SQL_HD_CHUNKS = " union all ".join(
+    f"select doc_id, {c} as chunk, (simhash >> {c * HD_BITS}) & {(1 << HD_BITS) - 1} as val"
+    " from sigs"
+    for c in range(HD_CHUNKS)
+)
+
+
+@query(
+    "simhash_near_dups",
+    oracle=f"""
+    with sigs as ({_SQL_SIMHASH_TBL}),
+    chunks as ({_SQL_HD_CHUNKS}),
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from chunks a join chunks b on a.chunk = b.chunk and a.val = b.val
+      where a.doc_id < b.doc_id
+    )
+    select doc_a, doc_b, bit_count(xor(x.simhash, y.simhash))::BIGINT as hamming
+    from cand join sigs x on x.doc_id = doc_a join sigs y on y.doc_id = doc_b
+    where bit_count(xor(x.simhash, y.simhash)) <= {HD_MAX}
+    """,
+)
+def simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance HD_MAX: pigeonhole
+    chunk equi-join proposes (exact blocking — see module comment), one
+    xor+bit_count verifies.  All JVM bit ops, no UDF, no all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    votes = toks.groupBy("doc_id").agg(*_simhash_spark())
+    combine = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    sigs = tracked_cache(votes.select("doc_id", combine.cast("long").alias("simhash")))
+    chunks = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * HD_BITS)
+                        .bitwiseAND(F.lit((1 << HD_BITS) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(HD_CHUNKS)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    cand = (
+        chunks.select(F.col("doc_id").alias("doc_a"), "chunk", "val")
+        .join(chunks.select(F.col("doc_id").alias("doc_b"), "chunk", "val"), ["chunk", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    y = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(hamming <= HD_MAX)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
+
+
+# --------------------------------------------- near-dup cluster assembly
+# Pairs are not what a dedup pipeline acts on — CLUSTERS are (keep one
+# representative per component, drop the rest).  This runs the pipeline's
+# distributed large-star/small-star connected-components kernel
+# (stages/canonical.py — the canonicalization stage itself) over the
+# EXACT near-dup pairs, with local_threshold=0 so the DISTRIBUTED loop is
+# exercised even at test scale.  The oracle recomputes components as a
+# recursive transitive-closure CTE — so the iterative DataFrame CC
+# algorithm is hard value-hash-gated against an independent SQL
+# derivation (elsewhere CC is only twin-fixture-gated via pipeline_*).
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    with recursive {_SQL_NGRAM_PAIRS},
+    edges as (
+      select doc_a as a, doc_b as b from ngram_pairs
+      union
+      select doc_b as a, doc_a as b from ngram_pairs
+    ),
+    verts as (select distinct a as doc from edges),
+    reach(doc, r) as (
+      select doc, doc from verts
+      union
+      select reach.doc, e.b from reach join edges e on e.a = reach.r
+    )
+    select doc as doc_id, min(r)::BIGINT as cluster_rep
+    from reach group by doc
+    """,
+)
+def near_dup_clusters(spark, sf_dir):
+    """Near-dup clusters: exact Jaccard pairs -> connected components via
+    the canonicalization stage's distributed large-star/small-star loop
+    (forced distributed with local_threshold=0).  Output is
+    (doc_id, cluster_rep = component min) for every doc in some near-dup
+    pair; survivorship policy (keep cluster_rep) is then one filter."""
+    from ..stages.canonical import connected_components
+
+    # cached: the (expensive) prefix join feeds BOTH the CC edge set and
+    # the vertex rebuild below; CC's first localCheckpoint forces it once.
+    pairs = tracked_cache(
+        ngram_jaccard_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    comp = connected_components(pairs, local_threshold=0)
+    # Same consumer shape as the pipeline's canonicalize(): representatives
+    # carry no mapping row, so rebuild the vertex set and coalesce to self.
+    verts = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    return verts.join(
+        comp, verts["doc_id"] == comp["entity_id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).cast("long").alias("cluster_rep"),
+    )

@@ -84,3 +84,20 @@ def test_embedding_lsh_neardup_recall(spark, sf_dir):
     want = {(r.a, r.b) for r in brute.collect()}
     got = {(r.a, r.b) for r in QUERIES["embedding_near_dups_lsh"](spark, sf_dir).collect()}
     assert len(want & got) / len(want) >= 0.9
+
+
+def test_ngram_jaccard_superset_of_minhash(spark, sf_dir):
+    """Prefix filtering is exact: every pair MinHash banding surfaces at
+    Jaccard >= t must also be found by the prefix-filtered join (recall
+    1.0 is a theorem, not a probability), with identical verified scores."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["minhash_near_dup_pairs"](spark, sf_dir).collect()
+    }
+    assert set(mh) <= set(exact)
+    for k, v in mh.items():
+        assert exact[k] == v
