@@ -185,3 +185,27 @@ def test_cache_hygiene_release(spark, sf_dir):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
     assert release_caches() >= 3
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_ngram_jaccard_prefix_join_shape(plans):
+    """The exact set-similarity join must propose candidates from the
+    prefix inverted index (equi-join on shingle), never all-pairs: no
+    cartesian/nested-loop node, and the per-doc prefix ranking windows over
+    doc_id (a keyed sort), never a global Window."""
+    p = plans("ngram_jaccard_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # rarest-first ranking partitions by doc_id — a global (empty-key)
+    # window would serialize the corpus through one task
+    assert "Window" in p
+    for ln in p.splitlines():
+        if "Exchange SinglePartition" in ln:
+            raise AssertionError(f"global funnel in prefix ranking: {ln}")
+
+
+def test_simhash_near_dups_pigeonhole_join(plans):
+    """Hamming-band blocking is an equi-join on (chunk, value): hash join
+    only, and the signature table is computed once (cached), not once per
+    chunk leg."""
+    p = plans("simhash_near_dups")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p  # sigs cached across the 4 chunk legs
