@@ -289,10 +289,10 @@ _SQL_SIMHASH_COMBINE = " + ".join(
     f"(case when v{j} > 0 then {1 << j} else 0 end)" for j in range(SIMHASH_BITS)
 )
 
-
-@query(
-    "simhash",
-    oracle=rf"""
+# THE signature definition — the only SQL statement of the (doc_id, simhash)
+# table; `simhash` emits it and `simhash_near_dups` pairs over it, so a
+# change to the token regex / hash slice / vote rule reaches both.
+_SQL_SIMHASH_TBL = rf"""
     with toks as (
       select doc_id, unnest(regexp_split_to_array(lower(text), '\W+')) as term
       from documents
@@ -303,10 +303,11 @@ _SQL_SIMHASH_COMBINE = " + ".join(
     ),
     votes as (select doc_id, {_SQL_SIMHASH_VOTES} from hashed group by doc_id)
     select doc_id, ({_SQL_SIMHASH_COMBINE})::BIGINT as simhash from votes
-    """,
-)
-def simhash(spark, sf_dir):
-    """32-bit tf-weighted SimHash from token md5 prefixes — one exploded
+"""
+
+
+def _simhash_sigs_df(spark, sf_dir):
+    """Spark twin of _SQL_SIMHASH_TBL: (doc_id, simhash) — one exploded
     hash-agg pass, bit votes as plain sums (JVM bit ops, no UDF)."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
@@ -316,6 +317,13 @@ def simhash(spark, sf_dir):
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         combine = term if combine is None else combine + term
     return votes.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+@query("simhash", oracle=_SQL_SIMHASH_TBL)
+def simhash(spark, sf_dir):
+    """32-bit tf-weighted SimHash from token md5 prefixes — see
+    _simhash_sigs_df (shared with simhash_near_dups)."""
+    return _simhash_sigs_df(spark, sf_dir)
 
 
 @query(
@@ -390,24 +398,21 @@ EMB_BANDS = 16
 EMB_BITS = 4
 
 
-def _emb_band_key_col(b: int):
-    out = F.lit(0)
-    for i in range(EMB_BITS):
-        out = out + F.when(
-            F.element_at(F.col("embedding"), b * EMB_BITS + i + 1) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return out
+def _band_dims(b: int) -> range:
+    """Band b reads EMB_BITS consecutive embedding dims."""
+    return range(b * EMB_BITS, (b + 1) * EMB_BITS)
 
 
 def _sql_emb_bands() -> str:
-    parts = []
-    for b in range(EMB_BANDS):
-        key = " + ".join(
-            f"(case when embedding[{b * EMB_BITS + i + 1}] >= 0 then {1 << i} else 0 end)"
-            for i in range(EMB_BITS)
-        )
-        parts.append(f"select vec_id, {b} as band, ({key}) as key from embeddings")
-    return " union all ".join(parts)
+    # sign-bucket key definition shared with similarity.py (_bucket_sql) —
+    # dedup only chooses WHICH dims each band reads.
+    from .similarity import _bucket_sql
+
+    return " union all ".join(
+        f"select vec_id, {b} as band, ({_bucket_sql('embedding', _band_dims(b))}) as key"
+        " from embeddings"
+        for b in range(EMB_BANDS)
+    )
 
 
 @query(
@@ -445,13 +450,18 @@ def embedding_near_dups_lsh(spark, sf_dir):
     the exploded band table; the oversized-bucket anti-join valve bounds
     any hot bucket; exact cosine verifies; global top-k via orderBy+limit
     (TakeOrderedAndProject)."""
+    from .similarity import _bucket_col
+
     e = table(spark, sf_dir, "embeddings")
     bands = e.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), _emb_band_key_col(b).alias("key"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _bucket_col("embedding", _band_dims(b)).alias("key"),
+                    )
                     for b in range(EMB_BANDS)
                 ]
             )
@@ -462,7 +472,9 @@ def embedding_near_dups_lsh(spark, sf_dir):
         .where(F.col("count") > NEARDUP_MAX_BLOCK)
         .select("band", "key")
     )
-    bands = bands.join(F.broadcast(oversized), ["band", "key"], "left_anti")
+    # cached: the valved band table feeds BOTH legs of the candidate
+    # self-join (the scan + 16-way explode would otherwise run twice more).
+    bands = tracked_cache(bands.join(F.broadcast(oversized), ["band", "key"], "left_anti"))
     cand = (
         bands.select(F.col("vec_id").alias("a"), "band", "key")
         .join(bands.select(F.col("vec_id").alias("b"), "band", "key"), ["band", "key"])
@@ -605,19 +617,6 @@ HD_MAX = 3
 HD_CHUNKS = HD_MAX + 1
 HD_BITS = SIMHASH_BITS // HD_CHUNKS
 
-_SQL_SIMHASH_TBL = f"""
-    select doc_id, ({_SQL_SIMHASH_COMBINE})::BIGINT as simhash
-    from (
-      select doc_id, {_SQL_SIMHASH_VOTES}
-      from (select doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT as h
-            from (select doc_id,
-                         unnest(regexp_split_to_array(lower(text), '\\W+')) as term
-                  from documents)
-            where term <> '')
-      group by doc_id
-    )
-"""
-
 _SQL_HD_CHUNKS = " union all ".join(
     f"select doc_id, {c} as chunk, (simhash >> {c * HD_BITS}) & {(1 << HD_BITS) - 1} as val"
     " from sigs"
@@ -643,15 +642,10 @@ _SQL_HD_CHUNKS = " union all ".join(
 def simhash_near_dups(spark, sf_dir):
     """SimHash near-dup pairs within Hamming distance HD_MAX: pigeonhole
     chunk equi-join proposes (exact blocking — see module comment), one
-    xor+bit_count verifies.  All JVM bit ops, no UDF, no all-pairs."""
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
-    votes = toks.groupBy("doc_id").agg(*_simhash_spark())
-    combine = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        combine = term if combine is None else combine + term
-    sigs = tracked_cache(votes.select("doc_id", combine.cast("long").alias("simhash")))
+    xor+bit_count verifies.  All JVM bit ops, no UDF, no all-pairs.
+    Signatures come from _simhash_sigs_df — the same table `simhash`
+    emits, so the pairs are always pairs of the published signatures."""
+    sigs = tracked_cache(_simhash_sigs_df(spark, sf_dir))
     chunks = sigs.select(
         "doc_id",
         F.explode(

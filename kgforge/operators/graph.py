@@ -81,6 +81,13 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed (src, dst) edge DataFrame.
 
+    Sink nodes (dst-only) are kept in the node set and receive inbound
+    mass, but their own mass is NOT redistributed (the standard
+    no-dangling-redistribution simplification) — so total rank is only
+    conserved on out-degree-complete graphs.  Both registered callers
+    symmetrize their edges, which makes every node a source.  An empty
+    edge set returns an empty rank table rather than dividing by zero.
+
     ``checkpoint=True`` localCheckpoints the rank vector each round —
     truncating lineage so plan size is O(1) in iteration count (mandatory
     at entity-graph scale; left False for the toy concept query whose
@@ -91,8 +98,14 @@ def pagerank(
     w = tracked_cache(
         sym.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
     )
-    nodes = tracked_cache(sym.select(F.col("src").alias("node")).distinct())
+    nodes = tracked_cache(
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("r"))
 
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     # Per-round plan (audited): the rank vector broadcasts into the edge

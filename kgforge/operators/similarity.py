@@ -80,15 +80,21 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
-def _bucket_sql(col: str) -> str:
+def _bucket_sql(col: str, dims=None) -> str:
+    """Sign-LSH bucket key as DuckDB SQL: bit i set iff ``col[dims[i]] >= 0``.
+    The ONE definition of the sign-bucket key (dedup's banded variant
+    passes per-band dim ranges) — keep it in lockstep with _bucket_col."""
+    dims = SIGN_DIMS if dims is None else dims
     return " + ".join(
-        f"(case when {col}[{d + 1}] >= 0 then {1 << i} else 0 end)" for i, d in enumerate(SIGN_DIMS)
+        f"(case when {col}[{d + 1}] >= 0 then {1 << i} else 0 end)" for i, d in enumerate(dims)
     )
 
 
-def _bucket_col(col: str):
+def _bucket_col(col: str, dims=None):
+    """Spark twin of :func:`_bucket_sql` — same dims, same bit order."""
+    dims = SIGN_DIMS if dims is None else dims
     out = F.lit(0)
-    for i, d in enumerate(SIGN_DIMS):
+    for i, d in enumerate(dims):
         out = out + F.when(F.element_at(F.col(col), d + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out.cast("long")
 
