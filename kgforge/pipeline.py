@@ -4,7 +4,7 @@ Stages (each checkpoint-resumable, north_rule):
     files -> mentions -> entity_embeddings -> candidate_links -> entities
           -> triples (+ metrics)
 
-Usage (cluster):
+Usage (cluster; ``python -m kgforge.package kgforge.zip`` builds the artifact):
     spark-submit --py-files kgforge.zip -m kgforge.pipeline \
         --input <iceberg-table-or-parquet-path> --run-root <checkpoint root>
 
