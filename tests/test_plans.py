@@ -209,3 +209,13 @@ def test_simhash_near_dups_pigeonhole_join(plans):
     p = plans("simhash_near_dups")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "InMemoryTableScan" in p  # sigs cached across the 4 chunk legs
+
+
+def test_session_pins_north_rule_configs(spark):
+    """The configs the north rule names must be live in every session the
+    package builds: AQE skew-join splitting, Arrow batching, and a
+    bounded broadcast threshold."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert spark.conf.get("spark.sql.maxConcurrentOutputFileWriters") == "16"
