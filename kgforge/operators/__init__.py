@@ -25,6 +25,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         wordsearch,
         sqlsurface,
+        corpusops,  # round-3 additions: first driver sample still pending
         spansearch,
         kgdocs,  # (graph imports it, so it registers before graph either way)
         graph,

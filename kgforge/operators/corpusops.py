@@ -1,0 +1,210 @@
+"""Corpus-composition operators a training-data pipeline needs beyond
+per-document cleaning (cleaning.py) and whole-doc dedup (dedup.py):
+
+- ``substring_dup_spans`` — EXACT duplicated-substring detection: the
+  fixed-width token-window form of suffix-array substring dedup
+  (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better" — public method; the suffix array finds variable-length
+  repeats, the W-token window form finds every repeat of length >= W,
+  which is how the method is usually distributed).
+- ``repetition_stats`` — Gopher-style repetition quality signals
+  (Rae et al. 2021 §A1.3, public): most-common-token fraction,
+  most-common-bigram fraction, type-token ratio.
+- ``mixture_sample`` — deterministic source-mixture sampling with
+  inverse-rate importance weights (the "data mixing" step that composes
+  a training corpus from heterogeneous sources).
+
+Scale shapes: substring windows explode to O(total tokens) rows and
+resolve with ONE hash-groupBy + one equi-join (linear, shuffle on the
+window hash — the same shape as minhash shingles); repetition stats are
+two exploded hash-aggregations (map-side partial, no joins wider than
+doc_id); mixture sampling is a pure map (no shuffle at all) because the
+keep/drop decision is a deterministic per-row hash — rerunning the job
+on a grown corpus keeps the SAME rows, which is what makes the sample
+reproducible across ingest waves.  No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import ROUND, query, table
+
+SUB_W = 10  # duplicated-substring window width (tokens)
+
+_SQL_TOKS = r"""
+    select doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '') as ts
+    from documents
+"""
+
+
+def _ts(docs):
+    """Token array, materialized through a projection boundary (the
+    dedup.py:_shingles_df lesson: inlined, Catalyst re-runs the regex per
+    consuming expression)."""
+    return docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda t: t != "").alias("ts"),
+    )
+
+
+@query(
+    "substring_dup_spans",
+    oracle=f"""
+    with t as ({_SQL_TOKS}),
+    wins as (
+      select doc_id,
+             unnest(range(greatest(len(ts) - {SUB_W} + 1, 0))) as pos,
+             unnest(list_transform(range(greatest(len(ts) - {SUB_W} + 1, 0)),
+                                   j -> array_to_string(ts[j+1:j+{SUB_W}], ' '))) as win
+      from t
+    ),
+    shared as (
+      select win, count(distinct doc_id)::BIGINT as n_docs
+      from wins group by win having count(distinct doc_id) >= 2
+    )
+    select wins.doc_id, wins.pos::BIGINT as pos, shared.n_docs
+    from wins join shared using (win)
+    """,
+)
+def substring_dup_spans(spark, sf_dir):
+    """Every position where a document repeats a >= SUB_W-token substring
+    of ANOTHER document: windows -> one hash-groupBy (distinct-doc count
+    per window) -> equi-join back.  Emits (doc_id, pos, n_docs); a
+    substring-dedup pass then cuts those spans from all but one holder.
+    Exact by construction — any shared substring of length >= SUB_W
+    contains a shared W-window, so recall over >= W repeats is 1."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    wins = (
+        _ts(docs)
+        .select(
+            "doc_id",
+            F.when(
+                F.size(ts) >= SUB_W,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - SUB_W),
+                    lambda j: F.concat_ws(" ", F.slice(ts, j + 1, SUB_W)),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("ws"),
+        )
+        .select("doc_id", F.posexplode("ws").alias("pos", "win"))
+    )
+    shared = (
+        wins.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    return wins.join(shared, "win").select("doc_id", F.col("pos").cast("long"), "n_docs")
+
+
+@query(
+    "repetition_stats",
+    oracle=f"""
+    with t as ({_SQL_TOKS}),
+    tok as (select doc_id, unnest(ts) as term from t),
+    tc as (select doc_id, term, count(*) as c from tok group by doc_id, term),
+    ta as (select doc_id, round(max(c)::DOUBLE / sum(c), {ROUND}) as top_token_frac,
+                  round(count(*)::DOUBLE / sum(c), {ROUND}) as ttr
+           from tc group by doc_id),
+    bg as (
+      select doc_id,
+             unnest(list_transform(range(greatest(len(ts) - 1, 0)),
+                                   j -> ts[j+1] || ' ' || ts[j+2])) as bigram
+      from t
+    ),
+    bc as (select doc_id, bigram, count(*) as c from bg group by doc_id, bigram),
+    ba as (select doc_id, round(max(c)::DOUBLE / sum(c), {ROUND}) as top_bigram_frac
+           from bc group by doc_id)
+    select ta.doc_id, ta.top_token_frac, coalesce(ba.top_bigram_frac, 0.0) as top_bigram_frac, ta.ttr
+    from ta left join ba using (doc_id)
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: fraction of tokens
+    that are the single most common token, fraction of bigrams that are
+    the most common bigram, and type-token ratio — the inputs to the
+    'excessive repetition' reject rules.  Two exploded hash-aggregate
+    cascades, everything keyed by doc_id (combiner-friendly), no joins
+    wider than the per-doc aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.col("ts")
+    t = _ts(docs)
+    tc = (
+        t.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = tc.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), ROUND).alias("top_token_frac"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), ROUND).alias("ttr"),
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ts) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - 2),
+                    lambda j: F.concat_ws(" ", F.element_at(ts, j + 1), F.element_at(ts, j + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    ba = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c").cast("double") / F.sum("c"), ROUND).alias("top_bigram_frac"))
+    )
+    return ta.join(ba, "doc_id", "left").select(
+        "doc_id",
+        "top_token_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+        "ttr",
+    )
+
+
+# Mixture design: rate depends only on the source name, the keep/drop
+# coin only on (a stable hash of) the doc id — so the sample is a fixed
+# deterministic subset, stable under corpus growth and re-runs.  The md5
+# prefix is the engine-portable uniform hash (Spark conv() == DuckDB
+# '0x'-cast, both unsigned 32-bit), the same trick the exact-dup and
+# minhash operators use.
+MIX_BUCKETS = 10_000
+
+
+def _mix_rate_sql(src: str) -> str:
+    return f"(substr({src}, 4)::INT % 4 + 1) * 0.25"
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    select doc_id, source, round(1.0 / ({_mix_rate_sql('source')}), {ROUND}) as weight
+    from documents
+    where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {MIX_BUCKETS}
+          < {MIX_BUCKETS} * ({_mix_rate_sql('source')})
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    """Deterministic source-mixture sample: each source gets a target
+    keep-rate (here derived from the source index: 0.25/0.50/0.75/1.00
+    cycling), rows are kept by a stable per-doc hash coin, and every kept
+    row carries the 1/rate importance weight that makes downstream
+    statistics unbiased.  Pure map over the scan — no shuffle, no RNG
+    state; at 100 TB this is the one operator that MUST be a map, because
+    any shuffle-based sampler would pay a full repartition just to throw
+    rows away."""
+    docs = table(spark, sf_dir, "documents")
+    rate = ((F.substring("source", 4, 10).cast("int") % 4 + 1) * F.lit(0.25)).cast("double")
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % MIX_BUCKETS
+    )
+    return (
+        docs.where(coin < F.lit(MIX_BUCKETS) * rate)
+        .select("doc_id", "source", F.round(F.lit(1.0) / rate, ROUND).alias("weight"))
+    )
