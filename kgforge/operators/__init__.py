@@ -12,20 +12,17 @@ from . import registry  # noqa: F401
 def load_all() -> None:
     """Import every operator module (triggers registration).
 
-    ORDER MATTERS: the driver's correctness gate samples a prefix of the
-    registry (r1/r2 artifacts cover the first ~50 registered queries), so
-    modules whose queries have not yet appeared in a committed
-    CORRECTNESS_r{N}.json register FIRST — wordsearch + sqlsurface were
-    never sampled through round 2, text was last sampled in round 1, and
-    the round-3 additions (composed IVF, cross-label near-dups, pipeline
-    PageRank, hard-oracled span/vec queries) need their first sample.
-    Queries pushed past the window (cleaning, jsonl_sources, multimodal,
-    ontology, relational) are all green in CORRECTNESS_r02.json.
+    Import order here is NOT the driver's sampling order anymore:
+    ``__spark_entry__.queries()`` re-sorts the registry by evidence
+    staleness (never-driver-sampled first, then oldest committed
+    CORRECTNESS round), so every query rotates through the driver's
+    ~50-query correctness window as rounds accumulate.
     """
     from . import (  # noqa: F401
         wordsearch,
         sqlsurface,
-        corpusops,  # round-3 additions: first driver sample still pending
+        corpusops,
+        trainprep,
         spansearch,
         kgdocs,  # (graph imports it, so it registers before graph either way)
         graph,

@@ -48,17 +48,43 @@ def _ts(docs):
     )
 
 
+def sql_wins(w: int) -> str:
+    """DuckDB fragment: (doc_id, pos, win) — every w-token window of every
+    document, space-joined.  Shared by substring dedup + decontamination."""
+    return f"""
+      select doc_id,
+             unnest(range(greatest(len(ts) - {w} + 1, 0))) as pos,
+             unnest(list_transform(range(greatest(len(ts) - {w} + 1, 0)),
+                                   j -> array_to_string(ts[j+1:j+{w}], ' '))) as win
+      from ({_SQL_TOKS})
+    """
+
+
+def wins_df(docs, w: int):
+    """Spark twin of :func:`sql_wins`: posexplode of w-token windows."""
+    ts = F.col("ts")
+    return (
+        _ts(docs)
+        .select(
+            "doc_id",
+            F.when(
+                F.size(ts) >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - w),
+                    lambda j: F.concat_ws(" ", F.slice(ts, j + 1, w)),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("ws"),
+        )
+        .select("doc_id", F.posexplode("ws").alias("pos", "win"))
+    )
+
+
 @query(
     "substring_dup_spans",
     oracle=f"""
-    with t as ({_SQL_TOKS}),
-    wins as (
-      select doc_id,
-             unnest(range(greatest(len(ts) - {SUB_W} + 1, 0))) as pos,
-             unnest(list_transform(range(greatest(len(ts) - {SUB_W} + 1, 0)),
-                                   j -> array_to_string(ts[j+1:j+{SUB_W}], ' '))) as win
-      from t
-    ),
+    with wins as ({sql_wins(SUB_W)}),
     shared as (
       select win, count(distinct doc_id)::BIGINT as n_docs
       from wins group by win having count(distinct doc_id) >= 2
@@ -75,23 +101,7 @@ def substring_dup_spans(spark, sf_dir):
     Exact by construction — any shared substring of length >= SUB_W
     contains a shared W-window, so recall over >= W repeats is 1."""
     docs = table(spark, sf_dir, "documents")
-    ts = F.col("ts")
-    wins = (
-        _ts(docs)
-        .select(
-            "doc_id",
-            F.when(
-                F.size(ts) >= SUB_W,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ts) - SUB_W),
-                    lambda j: F.concat_ws(" ", F.slice(ts, j + 1, SUB_W)),
-                ),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias("ws"),
-        )
-        .select("doc_id", F.posexplode("ws").alias("pos", "win"))
-    )
+    wins = wins_df(docs, SUB_W)
     shared = (
         wins.groupBy("win")
         .agg(F.count_distinct("doc_id").alias("n_docs"))

@@ -516,3 +516,126 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
         .where(F.col("rn") <= TOPK)
         .select("qid", "vec_id", "score")
     )
+
+
+# ------------------------------------------------- scalar quantization (SQ8)
+# The memory lever for 100 TB embedding search: int8 codes are 4x smaller
+# than float32, so four times the corpus fits in executor memory / page
+# cache.  Quantization is SYMMETRIC with one global scale (code =
+# floor(x * 127/A + 0.5), A = corpus max |x|), so the code-space cosine
+# adot / sqrt(|cq|^2 * |cc|^2) tracks the true cosine; adot and the
+# squared norms are exact int64, which makes the candidate cut
+# bit-identical across engines and partitionings (float summation order
+# can never flip it).  Only the top-RERANK survivors per query pay the
+# exact float cosine — the FAISS/ScaNN two-phase deployment shape.
+
+RERANK = 50  # candidates per query that reach the exact-rescore phase
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+    with v as (
+      select vec_id, unnest(list_transform(embedding, x -> x::DOUBLE)) as x
+      from embeddings
+    ),
+    sc as (select 127.0 / max(abs(x)) as g from v),
+    codes as (
+      select vec_id,
+             list_transform(embedding, x -> cast(floor(x::DOUBLE * sc.g + 0.5) as BIGINT)) as code
+      from embeddings, sc
+    ),
+    norms as (
+      select vec_id, sum(cx * cx)::BIGINT as csq
+      from (select vec_id, unnest(code) as cx from codes) group by vec_id
+    ),
+    q as (select codes.vec_id as qid, code as qc, csq as qsq
+          from codes join norms using (vec_id) where codes.vec_id < {N_QUERIES}),
+    ad as (
+      select qid, vec_id, qsq, sum(qx * cx)::BIGINT as adot
+      from (select q.qid, c.vec_id, q.qsq, unnest(q.qc) as qx, unnest(c.code) as cx
+            from q cross join codes c where c.vec_id <> q.qid)
+      group by qid, vec_id, qsq
+    ),
+    cand as (
+      select qid, vec_id from (
+        select ad.qid, ad.vec_id,
+               row_number() over (
+                 partition by ad.qid
+                 order by ad.adot / sqrt(ad.qsq * norms.csq) desc, ad.vec_id
+               ) as rn
+        from ad join norms using (vec_id) where norms.csq > 0
+      ) where rn <= {RERANK}
+    ),
+    qe as (select vec_id as qid, embedding as qv from embeddings where vec_id < {N_QUERIES})
+    select qid, vec_id, score from (
+      select cand.qid, cand.vec_id,
+             round({_SQL_COS.format(a="qe.qv", b="e.embedding")}, {ROUND}) as score,
+             row_number() over (
+               partition by cand.qid
+               order by round({_SQL_COS.format(a="qe.qv", b="e.embedding")}, {ROUND}) desc, cand.vec_id
+             ) as rn
+      from cand
+      join embeddings e on e.vec_id = cand.vec_id
+      join qe on qe.qid = cand.qid
+    ) where rn <= {TOPK}
+    """,
+)
+def ann_sq8_topk(spark, sf_dir):
+    """SQ8 two-phase top-k: symmetric global-scale int8 quantization,
+    candidate ranking by code-space cosine from exact int64 dot/norms,
+    exact cosine only on the top-RERANK survivors.
+
+    Scale shape: the scale scalar and query codes broadcast; quantization
+    + integer scoring is a pure MAP over the corpus scan (no shuffle
+    until the per-query top-RERANK cut); the exact-rescore join touches
+    RERANK x N_QUERIES rows only.  The oracle recomputes the quantizer
+    independently (explode-based norms vs zip_with aggregates).  Recall
+    vs knn_bruteforce asserted in test_trainprep.py."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.posexplode(_dvec("embedding")).alias("pos", "x"))
+    sc = v.agg((F.lit(127.0) / F.max(F.abs(F.col("x")))).alias("g"))
+    coded = tracked_cache(
+        e.crossJoin(F.broadcast(sc)).select(
+            "vec_id",
+            F.transform(
+                _dvec("embedding"), lambda x: F.floor(x * F.col("g") + 0.5).cast("long")
+            ).alias("code"),
+        )
+    )
+    csq = F.aggregate(
+        F.col("code"), F.lit(0).cast("long"), lambda s, c: s + c * c
+    )
+    normed = coded.select("vec_id", "code", csq.alias("csq"))
+    q = normed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("code").alias("qc"), F.col("csq").alias("qsq")
+    )
+    adot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("code"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    ascore = F.col("adot") / F.sqrt((F.col("qsq") * F.col("csq")).cast("double"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("ascore"), F.asc("vec_id"))
+    cand = (
+        normed.where(F.col("csq") > 0)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", adot.alias("adot"), "qsq", "csq")
+        .select("qid", "vec_id", ascore.alias("ascore"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= RERANK)
+        .select("qid", "vec_id")
+    )
+    qe = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qe), "qid")
+        .select("qid", "vec_id", F.round(_cos("qv", "embedding"), ROUND).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK)
+        .select("qid", "vec_id", "score")
+    )

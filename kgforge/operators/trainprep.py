@@ -1,0 +1,300 @@
+"""Training-corpus preparation operators — the remaining steps a
+large-scale LLM-data pipeline runs between "cleaned corpus" and
+"training mixture", each as an oracle-gated query:
+
+- ``bm25_search`` — Okapi BM25 ranking (Robertson/Sparck Jones; the
+  standard lexical retriever, complementing the reference's tf-idf
+  family, /root/reference/search/tf_idf_search.py:53-60).
+- ``decontamination`` — train/test overlap detection: flag training
+  documents sharing any W-token window with a held-out benchmark set
+  (the n-gram decontamination step of GPT-3 appendix C / PaLM §6, both
+  public method descriptions).
+- ``pii_redact`` — PII scrubbing: e-mail and IPv4 redaction with
+  per-doc redaction counts (regex surface identical in Java and RE2).
+- ``doc_logprob`` — unigram-LM quality score: per-doc mean log2
+  probability of its tokens under the corpus unigram distribution (the
+  cheap stand-in for KenLM-perplexity filtering, CCNet-style).
+- ``corpus_delta`` — snapshot diff (CDC): added/deleted/changed/
+  unchanged verdicts between two corpus snapshots by content digest —
+  the incremental-ingest primitive for a table-format corpus store.
+
+Scale shapes.  BM25 is the tf-idf sparse join with two extra broadcast
+scalars (avgdl, N) — no new shuffle beyond tf.  Decontamination joins
+the corpus's exploded windows against the DISTINCT benchmark window
+set; benchmarks are small (MBs) so that side is broadcast — the corpus
+side is never shuffled at all.  PII redaction is a pure map (regexp
+over the scan, zero shuffles).  The unigram logprob is two hash-aggs
+plus an equi-join on term (combiner-friendly).  The snapshot diff is
+one full-outer join on the id, comparing 64-byte digests instead of
+document bodies; AQE handles id skew.  No UDFs anywhere.
+
+Both snapshots in ``corpus_delta`` and the benchmark split in
+``decontamination`` are derived DETERMINISTICALLY from the documents
+table (modulus rules on doc_id), so Spark and DuckDB agree with no
+external data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..cachectl import tracked_cache
+from .corpusops import sql_wins, wins_df
+from .registry import ROUND, query, table
+from .text import QUERY_TERMS, SQL_TF, _tf
+
+# ------------------------------------------------------------------- BM25
+K1 = 1.2
+B = 0.75
+_QVALS = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    with tf as ({SQL_TF}),
+    dl as (select doc_id, sum(tf)::DOUBLE as dl from tf group by doc_id),
+    stats as (select avg(dl) as avgdl from dl),
+    q as (
+      select term,
+             ln(((select count(*) from documents)::DOUBLE - df + 0.5) / (df + 0.5) + 1) as idf
+      from (select term, count(*)::DOUBLE as df from tf
+            where term in (values {_QVALS}) group by term)
+    )
+    select tf.doc_id,
+           round(sum(q.idf * (tf.tf * {K1 + 1}) /
+                     (tf.tf + {K1} * ({1 - B} + {B} * dl.dl / stats.avgdl))), {ROUND}) as score
+    from tf join q using (term) join dl using (doc_id), stats
+    group by tf.doc_id
+    order by score desc, doc_id
+    limit 20
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 top-20 (k1=1.2, b=0.75): the tf-idf sparse-join shape
+    (text.py:tfidf_search) with saturation and length normalization.
+    df is computed on the query-term slice only (same values, no full
+    vocab agg), idf/avgdl ride along as broadcast one-row sides — the
+    only shuffles are the tf hash-agg and the final per-doc agg."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tf = tracked_cache(_tf(docs))  # feeds dl, df, and the score join
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"))
+    qtf = tf.where(F.col("term").isin(*QUERY_TERMS))
+    q = (
+        qtf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .select(
+            "term",
+            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias("idf"),
+        )
+    )
+    return (
+        qtf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * F.lit(K1 + 1))
+                    / (F.col("tf") + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * F.col("dl") / F.col("avgdl")))
+                ),
+                ROUND,
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------- decontamination
+DECON_W = 8  # overlap window width (tokens)
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 -> held-out benchmark doc (2%)
+
+
+@query(
+    "decontamination",
+    oracle=f"""
+    with wins as ({sql_wins(DECON_W)}),
+    ev as (select distinct win, doc_id as eval_doc from wins where doc_id % {EVAL_MOD} = 0),
+    tr as (select doc_id, pos, win from wins where doc_id % {EVAL_MOD} <> 0)
+    select tr.doc_id,
+           count(distinct tr.pos)::BIGINT as n_hits,
+           count(distinct ev.eval_doc)::BIGINT as n_eval_docs
+    from tr join ev using (win)
+    group by tr.doc_id
+    """,
+)
+def decontamination(spark, sf_dir):
+    """Train/test overlap: training docs sharing any DECON_W-token window
+    with the held-out benchmark slice (doc_id % EVAL_MOD == 0), with how
+    many window positions leak (n_hits) and how many benchmark docs are
+    implicated (n_eval_docs).  The benchmark window set is deduped and
+    BROADCAST — at 100 TB the corpus side stays map-only (scan → explode
+    windows → broadcast-hash-join → partial agg); benchmarks are MBs."""
+    wins = wins_df(table(spark, sf_dir, "documents"), DECON_W)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = (
+        wins.where(is_eval)
+        .select("win", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    return (
+        wins.where(~is_eval)
+        .join(F.broadcast(ev), "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("pos").alias("n_hits"),
+            F.count_distinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+# -------------------------------------------------------------- PII redact
+# Java (Spark) and RE2 (DuckDB) agree on these ASCII-only patterns.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The synthetic corpus carries no real PII, so the harness plants a
+# deterministic contact line per doc (same expression both engines) —
+# the operator under test is the redaction map itself.
+_SQL_AUG = (
+    "text || ' contact u' || doc_id || '@mail.example from 10.0.' || "
+    "(doc_id % 256) || '.' || (doc_id % 100)"
+)
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    with aug as (select doc_id, {_SQL_AUG} as t from documents)
+    select doc_id,
+           len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT as n_emails,
+           len(regexp_extract_all(t, '{IP_RE}'))::BIGINT as n_ips,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{IP_RE}', '<IP>', 'g')) as redacted_md5
+    from aug
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrub: replace e-mails and IPv4s with typed placeholders and
+    count redactions per doc.  Pure map over the scan — zero shuffles;
+    the redacted body is reported as an md5 digest so the oracle compares
+    64 hex chars, not document bodies."""
+    aug = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(IP_RE)).cast("long").alias("n_ips"),
+        F.md5(
+            F.regexp_replace(F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>")
+        ).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------- unigram logprob
+@query(
+    "doc_logprob",
+    oracle=f"""
+    with tf as ({SQL_TF}),
+    tot as (select sum(tf)::DOUBLE as n from tf),
+    p as (select term, sum(tf)::DOUBLE / (select n from tot) as p from tf group by term)
+    select tf.doc_id,
+           sum(tf.tf)::BIGINT as n_tokens,
+           round(sum(tf.tf * log2(p.p)) / sum(tf.tf), {ROUND}) as avg_logprob
+    from tf join p using (term)
+    group by tf.doc_id
+    """,
+)
+def doc_logprob(spark, sf_dir):
+    """Unigram-LM quality score: mean log2 probability per token of the
+    doc under the corpus's own unigram distribution — gibberish and
+    boilerplate-heavy docs score low/high respectively, the cheap proxy
+    for perplexity filtering.  Two hash-aggs + one equi-join on term;
+    the total-token scalar rides as a broadcast one-row side."""
+    tf = tracked_cache(_tf(table(spark, sf_dir, "documents")))
+    tot = tf.agg(F.sum("tf").cast("double").alias("n"))
+    p = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("tsum"))
+        .crossJoin(F.broadcast(tot))
+        .select("term", (F.col("tsum") / F.col("n")).alias("p"))
+    )
+    return (
+        tf.join(p, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.log2("p")) / F.sum("tf"), ROUND).alias("avg_logprob"),
+        )
+    )
+
+
+# ------------------------------------------------------------ snapshot diff
+# Deterministic snapshot derivation (same rules both engines):
+#   old  = docs with doc_id % 17 != 0           (17-multiples are new arrivals)
+#   new  = docs with doc_id % 13 != 0           (13-multiples were dropped)
+#   docs with doc_id % 5 == 0 got ' v2' appended in the new snapshot
+DELTA_ADD = 17
+DELTA_DEL = 13
+DELTA_CHG = 5
+
+
+@query(
+    "corpus_delta",
+    oracle=f"""
+    with old as (select doc_id, sha256(text) as dig from documents
+                 where doc_id % {DELTA_ADD} <> 0),
+    new as (select doc_id,
+                   sha256(case when doc_id % {DELTA_CHG} = 0 then text || ' v2' else text end) as dig
+            from documents where doc_id % {DELTA_DEL} <> 0)
+    select coalesce(old.doc_id, new.doc_id) as doc_id,
+           case when old.doc_id is null then 'added'
+                when new.doc_id is null then 'deleted'
+                when old.dig <> new.dig then 'changed'
+                else 'unchanged' end as status
+    from old full outer join new on old.doc_id = new.doc_id
+    """,
+)
+def corpus_delta(spark, sf_dir):
+    """Snapshot diff / CDC between two corpus versions: one full-outer
+    join on doc_id comparing sha256 content digests (the per-row
+    invariant of the KG pipeline, 64 bytes instead of document bodies).
+    This is the incremental-ingest primitive: 'added' rows feed the next
+    pipeline wave, 'changed' rows invalidate their cached stages,
+    'deleted' rows retract triples.  AQE skew-join covers hot ids."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % DELTA_ADD != 0).select(
+        "doc_id", F.sha2("text", 256).alias("dig")
+    )
+    new = docs.where(F.col("doc_id") % DELTA_DEL != 0).select(
+        "doc_id",
+        F.sha2(
+            F.when(F.col("doc_id") % DELTA_CHG == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+            256,
+        ).alias("dig"),
+    )
+    j = old.alias("o").join(new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("deleted"))
+        .when(F.col("o.dig") != F.col("n.dig"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -1,0 +1,83 @@
+"""Targeted checks for the training-prep + graph additions beyond the
+oracle rehearsal (tests/test_oracles.py covers value parity):
+
+- triangle counting: the degree-orientation kernel vs a brute-force
+  itertools enumeration on a deterministic synthetic graph whose shape
+  (hub + cliques + chain) stresses the orientation tie-breaks;
+- plan shapes for the scale claims made in the docstrings
+  (decontamination broadcasts the benchmark side; pii_redact is a
+  map-only plan with zero exchanges).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from kgforge.operators.graph import count_triangles
+from kgforge.operators.trainprep import decontamination, pii_redact
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _synth_edges():
+    """Deterministic mixed-shape graph: a K6 clique, a hub fanning to a
+    partially-closed neighborhood, a triangle-free chain, and hash-picked
+    chords — exercises equal-degree ties and hub orientation."""
+    edges = set()
+    edges |= {(a, b) for a, b in combinations(range(6), 2)}  # K6
+    edges |= {(6, v) for v in range(7, 19)}  # hub 6
+    edges |= {(v, v + 1) for v in range(7, 18, 2)}  # close some hub wedges
+    edges |= {(v, v + 1) for v in range(20, 40)}  # chain (triangle-free)
+    edges |= {
+        (a, b)
+        for a, b in combinations(range(40), 2)
+        if (a * 1_000_003 + b * 7919) % 97 == 0
+    }
+    return sorted(edges)
+
+
+def _brute_counts(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_kernel_matches_bruteforce(spark):
+    edges = _synth_edges()
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in count_triangles(e).collect()}
+    want = _brute_counts(edges)
+    assert want, "synthetic graph must actually contain triangles"
+    assert got == want
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    plan = decontamination(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    plan = pii_redact(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sq8_recall_vs_bruteforce(spark):
+    """SQ8 candidate cut + exact rerank must recover nearly all true
+    top-10 neighbors (64-dim, 8-bit codes, RERANK=50 -> recall ~1)."""
+    from kgforge.operators.similarity import ann_sq8_topk, knn_bruteforce
+
+    truth = {
+        (r["qid"], r["vec_id"]) for r in knn_bruteforce(spark, SF_DIR).collect()
+    }
+    got = {(r["qid"], r["vec_id"]) for r in ann_sq8_topk(spark, SF_DIR).collect()}
+    assert len(truth) == 50
+    assert len(got & truth) / len(truth) >= 0.9
