@@ -319,10 +319,12 @@ def count_triangles(edges: DataFrame) -> DataFrame:
         .join(o.alias("o2"), (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.w") < F.col("o2.w")))
         .select(F.col("o1.u").alias("u"), F.col("o1.w").alias("w1"), F.col("o2.w").alias("w2"))
     )
-    tri = wedges.join(e, (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")))
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionByName(tri.select(F.col("w1").alias("node")))
-        .unionByName(tri.select(F.col("w2").alias("node")))
-    )
+    # e broadcasts (16 B/edge; ~20 MB at bench scale) so the O(m^1.5)
+    # wedge stream is probed map-side instead of being shuffled; beyond
+    # broadcast size, drop the hint and the shuffle join pays O(wedges)
+    # exchange — the orientation bound still caps that volume.  Corners
+    # leave the join as ONE explode pass (three separate union legs would
+    # re-run the whole wedge join per corner — measured 3x).
+    tri = wedges.join(F.broadcast(e), (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")))
+    corners = tri.select(F.explode(F.array("u", "w1", "w2")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

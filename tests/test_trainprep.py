@@ -70,6 +70,35 @@ def test_pii_redact_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_window_kernel_matches_python_sliding(spark):
+    """The sliding-frame window formulation (corpusops.wins_df) must emit
+    exactly the Python-sliding-window set — every (doc, pos, w-gram),
+    including short-doc and exact-length boundaries."""
+    import re
+
+    from kgforge.operators.corpusops import wins_df
+
+    w = 4
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = []
+    for i in range(30):
+        n = i % 9  # lengths 0..8 straddle the w=4 boundary
+        texts.append(" ".join(vocab[(i * 7 + j) % len(vocab)] for j in range(n)))
+    texts.append("alpha beta gamma delta alpha beta gamma delta")  # planted repeat
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["win"]) for r in wins_df(docs, w).collect()
+    }
+    want = set()
+    for i, t in enumerate(texts):
+        ts = [x for x in re.split(r"\W+", t.lower()) if x]
+        for p in range(max(len(ts) - w + 1, 0)):
+            want.add((i, p, " ".join(ts[p : p + w])))
+    assert got == want
+
+
 def test_sq8_recall_vs_bruteforce(spark):
     """SQ8 candidate cut + exact rerank must recover nearly all true
     top-10 neighbors (64-dim, 8-bit codes, RERANK=50 -> recall ~1)."""
