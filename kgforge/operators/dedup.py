@@ -740,3 +740,84 @@ def near_dup_clusters(spark, sf_dir):
         "doc_id",
         F.coalesce(F.col("canonical_id"), F.col("doc_id")).cast("long").alias("cluster_rep"),
     )
+
+
+# ----------------------------------------------- incremental canonicalization
+# The daily-ingest shape for CLUSTERS (minhash_incremental's analog one
+# level up): yesterday's corpus already has a canonical mapping; today a
+# new batch of near-dup edges arrives.  Instead of re-running CC over the
+# full edge set, the incremental pass runs CC over (new edges) UNION
+# (yesterday's mapping read back as star edges member -> canonical).  The
+# star forest is one edge per previously-linked vertex — already
+# transitively closed — so the second CC's input is proportional to the
+# NEW batch plus the affected components' summaries, never the historical
+# edge volume.  Correct by the star-forest argument: every old component
+# is connected through its canonical node, so merging via new edges
+# produces exactly the components of (old U new), with the same global
+# min representative.  The oracle recomputes components over the FULL
+# edge set with a recursive transitive-closure CTE — the full-recompute
+# answer the incremental path must reproduce exactly.
+#
+# The old/new split is a deterministic modulus rule on the pair keys, so
+# both engines see the identical edge sets with no external state.
+
+CC_INC_MOD = 4  # pairs with (doc_a + doc_b) % MOD == 0 form the "new" batch
+
+
+@query(
+    "cc_incremental",
+    oracle=f"""
+    with recursive {_SQL_NGRAM_PAIRS},
+    edges as (
+      select doc_a as a, doc_b as b from ngram_pairs
+      union
+      select doc_b as a, doc_a as b from ngram_pairs
+    ),
+    verts as (select distinct a as doc from edges),
+    reach(doc, r) as (
+      select doc, doc from verts
+      union
+      select reach.doc, e.b from reach join edges e on e.a = reach.r
+    ),
+    comp as (select doc as doc_id, min(r)::BIGINT as cluster_rep
+             from reach group by doc)
+    select doc_id, cluster_rep,
+           (count(*) over (partition by cluster_rep))::BIGINT as cluster_size
+    from comp
+    """,
+)
+def cc_incremental(spark, sf_dir):
+    """Incremental connected components: full CC over the 'old' edge
+    split, then CC over (old mapping as star edges) U (new edge split) —
+    gated against a full-recompute transitive-closure oracle.  Emits
+    (doc_id, cluster_rep, cluster_size) for every endpoint; both CC runs
+    force the distributed loop (local_threshold=0)."""
+    from pyspark.sql import Window
+
+    from ..stages.canonical import connected_components
+
+    pairs = tracked_cache(
+        ngram_jaccard_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+    )
+    is_new = (F.col("a") + F.col("b")) % CC_INC_MOD == 0
+    old = pairs.where(~is_new)
+    new = pairs.where(is_new)
+    m_old = connected_components(old, local_threshold=0)
+    star = m_old.select(F.col("entity_id").alias("a"), F.col("canonical_id").alias("b"))
+    m_full = connected_components(star.unionByName(new), local_threshold=0)
+    verts = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    comp = verts.join(m_full, verts["doc_id"] == m_full["entity_id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).cast("long").alias("cluster_rep"),
+    )
+    return comp.select(
+        "doc_id",
+        "cluster_rep",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")).alias("cluster_size"),
+    )

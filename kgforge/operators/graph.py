@@ -328,3 +328,143 @@ def count_triangles(edges: DataFrame) -> DataFrame:
     tri = wedges.join(F.broadcast(e), (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")))
     corners = tri.select(F.explode(F.array("u", "w1", "w2")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# -------------------------------------------------- k-core / communities
+# Two more consumer-side analytics over the concept co-occurrence graph,
+# both FIXED-ROUND so the oracle can unroll the identical computation as
+# a CTE chain (the concept_pagerank gating pattern):
+#
+# - ``kcore``: KCORE_ROUNDS of degree-K peeling (the standard iterative
+#   k-core reduction; at fixpoint extra rounds are no-ops, so the fixed
+#   unrolling equals the true k-core whenever the peel converges within
+#   the budget — both engines compute the identical fixed-round set
+#   either way).  Per round: one map-side-combined degree agg + two
+#   semi-joins against the (shrinking, broadcastable) survivor set; with
+#   many rounds at entity scale, localCheckpoint per round (the pagerank
+#   pattern) caps lineage.
+# - ``label_propagation``: LP_ITERS synchronous rounds of
+#   most-frequent-neighbor-label with deterministic min-label
+#   tie-breaking — the classic community detector, made hash-gateable by
+#   the deterministic tie rule.  Per round: one edge-label equi-join +
+#   one (node, label) count agg + one per-node argmax window.
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+LP_ITERS = 3
+
+
+def _sql_kcore_chain() -> str:
+    parts = ["g0 as (select src, dst from sym)"]
+    for i in range(KCORE_ROUNDS):
+        parts.append(
+            f"""v{i+1} as (select src from g{i} group by src
+                 having count(*) >= {KCORE_K})"""
+        )
+        parts.append(
+            f"""g{i+1} as (select g.src, g.dst from g{i} g
+                 join v{i+1} a on g.src = a.src
+                 join v{i+1} b on g.dst = b.src)"""
+        )
+    return ",\n".join(parts)
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int, checkpoint: bool = False) -> DataFrame:
+    """``rounds`` peels of degree-<k vertices over a SYMMETRIZED (src, dst)
+    edge DataFrame; returns the surviving (node, core_degree) table.  The
+    survivor set only shrinks, so each round's semi-joins broadcast it."""
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= k)
+            .select("src")
+        )
+        edges = edges.join(F.broadcast(keep), "src", "left_semi").join(
+            F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi"
+        )
+        if checkpoint:
+            edges = edges.localCheckpoint()
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+@query(
+    "kcore",
+    oracle=f"""
+    with {_SQL_EDGES},
+    {_sql_kcore_chain()}
+    select src as concept, count(*)::BIGINT as core_degree
+    from g{KCORE_ROUNDS} group by src
+    """,
+)
+def kcore(spark, sf_dir):
+    """{KCORE_ROUNDS}-round {KCORE_K}-core peel of the concept graph;
+    emits survivors with their in-core degree."""
+    out = kcore_peel(_concept_edges(spark, sf_dir), KCORE_K, KCORE_ROUNDS)
+    return out.select(F.col("node").alias("concept"), "core_degree")
+
+
+def _sql_lp_chain() -> str:
+    parts = ["l0 as (select node, node as lab from nodes)"]
+    for i in range(LP_ITERS):
+        parts.append(
+            f"""c{i} as (select s.dst as node, l{i}.lab, count(*) as c
+                 from sym s join l{i} on l{i}.node = s.src
+                 group by s.dst, l{i}.lab)"""
+        )
+        parts.append(
+            f"""l{i+1} as (select node, min(lab) as lab from (
+                   select node, lab, c, max(c) over (partition by node) as mx
+                   from c{i}) t
+                 where c = mx group by node)"""
+        )
+    return ",\n".join(parts)
+
+
+def label_propagation(edges: DataFrame, iters: int, checkpoint: bool = False) -> DataFrame:
+    """``iters`` synchronous label-propagation rounds over a symmetrized
+    (src, dst) edge DataFrame: each node takes its neighbors' most frequent
+    label, ties to the MIN label (deterministic — required for the
+    cross-engine hash).  Labels start as the node ids.  Every node of a
+    symmetrized pair graph has >= 1 neighbor, so coverage is total."""
+    from pyspark.sql import Window
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+    )
+    w = Window.partitionBy("node")
+    for _ in range(iters):
+        cnt = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("mx", F.max("c").over(w))
+            .where(F.col("c") == F.col("mx"))
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint()
+    return labels
+
+
+@query(
+    "label_propagation",
+    oracle=f"""
+    with {_SQL_EDGES},
+    {_sql_lp_chain()}
+    select node as concept, lab as community from l{LP_ITERS}
+    """,
+)
+def label_propagation_query(spark, sf_dir):
+    """LP_ITERS-round deterministic label propagation over the concept
+    graph; emits each concept's final community label."""
+    labels = label_propagation(_concept_edges(spark, sf_dir), LP_ITERS)
+    return labels.select(F.col("node").alias("concept"), F.col("lab").alias("community"))

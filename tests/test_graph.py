@@ -25,3 +25,96 @@ def test_pagerank_reports_sink_nodes(spark):
     d = 0.85
     assert ranks["1"] == pytest.approx((1 - d) / 2)
     assert ranks["2"] == pytest.approx((1 - d) / 2 + d * 0.5)
+
+
+def _sym(spark, und_pairs):
+    rows = [(a, b) for a, b in und_pairs] + [(b, a) for a, b in und_pairs]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_kcore_peel_matches_bruteforce(spark):
+    """Fixed-round peel vs a Python reference peel on a graph with a
+    planted 3-core (K4), a pendant chain, and a triangle hanging off it."""
+    from kgforge.operators.graph import kcore_peel
+
+    und = [
+        # K4 on a,b,c,d (3-core)
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        # bridge d - e - f: e has degree 2 (d, f) so it survives k=2
+        ("d", "e"), ("e", "f"),
+        # triangle f - g - h - f (2-core that survives)
+        ("f", "g"), ("g", "h"), ("h", "f"),
+        # true pendant p off d: degree 1, peeled in round 1; its removal
+        # must NOT cascade (d keeps degree >= 2)
+        ("d", "p"),
+    ]
+    k, rounds = 2, 6
+
+    # brute-force peel
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for _ in range(rounds):
+        dead = {n for n, ns in adj.items() if len(ns) < k}
+        if not dead:
+            break
+        for n in dead:
+            adj.pop(n)
+        for ns in adj.values():
+            ns.difference_update(dead)
+    want = {n: len(ns) for n, ns in adj.items() if ns}
+
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_peel(_sym(spark, und), k, rounds).collect()
+    }
+    assert got == want
+    assert "p" not in got  # pendant peeled
+    assert "e" in got  # bridge node survives (degree exactly k)
+
+
+def test_label_propagation_deterministic_and_total(spark):
+    """Two disjoint triangles: every node must adopt its component's min
+    label, and repeated runs are identical (deterministic tie-breaks)."""
+    from kgforge.operators.graph import label_propagation
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")]
+    edges = _sym(spark, und)
+    got1 = {r["node"]: r["lab"] for r in label_propagation(edges, 3).collect()}
+    got2 = {r["node"]: r["lab"] for r in label_propagation(edges, 3).collect()}
+    assert got1 == got2
+    assert set(got1) == {"a", "b", "c", "x", "y", "z"}
+    assert {got1[n] for n in "abc"} == {"a"}
+    assert {got1[n] for n in "xyz"} == {"x"}
+
+
+def test_cc_incremental_merge_semantics(spark):
+    """The star-forest argument, explicitly: old mapping + new edges must
+    reproduce the full recompute when a new edge MERGES two old
+    components, when new edges form a brand-new component, and when an
+    old component is untouched."""
+    from kgforge.stages.canonical import connected_components
+
+    old = [(1, 2), (2, 3), (10, 11), (20, 21)]  # components {1,2,3} {10,11} {20,21}
+    new = [(3, 10), (30, 31)]  # merge {1..3}+{10,11}; brand-new {30,31}
+
+    def df(pairs):
+        return spark.createDataFrame(pairs, "a long, b long")
+
+    m_old = connected_components(df(old), local_threshold=0)
+    star = m_old.selectExpr("entity_id as a", "canonical_id as b")
+    m_inc = connected_components(star.unionByName(df(new)), local_threshold=0)
+
+    m_full = connected_components(df(old + new), local_threshold=0)
+
+    def mapping(m, verts):
+        rows = {int(r["entity_id"]): int(r["canonical_id"]) for r in m.collect()}
+        return {v: rows.get(v, v) for v in verts}
+
+    verts = sorted({x for p in old + new for x in p})
+    assert mapping(m_inc, verts) == mapping(m_full, verts)
+    got = mapping(m_inc, verts)
+    assert got[11] == 1  # merged across the new edge down to the global min
+    assert got[30] == 30 and got[31] == 30  # new-only component
+    assert got[20] == 20 and got[21] == 20  # untouched old component
