@@ -73,6 +73,18 @@ BENCH_QUERIES = [
     "corpus_delta",
     "ann_sq8_topk",
     "triangle_count",
+    # event-analytics + graph-consumer additions (cc_incremental is
+    # oracle-gated but NOT benched for the same reason as
+    # near_dup_clusters: it forces TWO distributed CC loops on a toy
+    # edge set, so its wall is scheduling latency, not a scale signal)
+    "asof_join",
+    "interval_join",
+    "funnel_counts",
+    "kcore",
+    "label_propagation",
+    "rolling_7d",
+    "sequence_pack",
+    "sql_revenue_rollup",
 ]
 
 PIPELINE_BENCH_FILES = 3000

@@ -235,3 +235,41 @@ def funnel_counts(spark, sf_dir):
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# --------------------------------------------------------- moving window
+DAY_US = 86_400_000_000
+
+
+@query(
+    "rolling_7d",
+    oracle=f"""
+    with daily as (
+      select user_id, epoch_us(ts) // {DAY_US} as day, count(*) as n
+      from events group by user_id, epoch_us(ts) // {DAY_US}
+    )
+    select user_id, day, n::BIGINT as n_events,
+           (sum(n) over (partition by user_id order by day
+                         range between 6 preceding and current row))::BIGINT
+             as n_7d
+    from daily
+    """,
+)
+def rolling_7d(spark, sf_dir):
+    """Rolling 7-day activity per user: daily event counts plus a RANGE
+    window sum over the integer day index — gaps in the calendar are
+    handled by the range frame (a rows frame would silently span missing
+    days).  All-integer arithmetic end-to-end: day ids by int64 div,
+    counts summed exactly — no float ever enters the cross-engine hash.
+    Scale: one user-keyed shuffle for the daily agg, and the window
+    reuses that partitioning (no second exchange)."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select("user_id", F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "user_id", "day", "n_events", F.sum("n_events").over(w).alias("n_7d")
+    )

@@ -68,3 +68,34 @@ def sql_order_priority(spark, sf_dir):
     """TPC-H Q4-shaped priority counts through the SQL surface; the date
     predicates reach the parquet scan as pushed filters."""
     return sql(spark, sf_dir, SQL_ORDER_PRIORITY)
+
+
+SQL_REVENUE_ROLLUP = f"""
+select coalesce(t.nation, 'ALL') as nation,
+       coalesce(t.oyear, -1) as oyear,
+       cast(grouping(t.nation) as BIGINT) as is_nation_total,
+       cast(grouping(t.oyear) as BIGINT) as is_year_total,
+       round(sum(t.rev), {ROUND}) as revenue,
+       count(*) as n_items
+from (
+  select n.n_name as nation,
+         cast(year(o.o_orderdate) as BIGINT) as oyear,
+         l.l_extendedprice * (1 - l.l_discount) as rev
+  from lineitem l
+  join orders o on l.l_orderkey = o.o_orderkey
+  join customer c on o.o_custkey = c.c_custkey
+  join nation n on c.c_nationkey = n.n_nationkey
+) t
+group by rollup (t.nation, t.oyear)
+"""
+
+
+@query("sql_revenue_rollup", oracle=SQL_REVENUE_ROLLUP)
+def sql_revenue_rollup(spark, sf_dir):
+    """Hierarchical subtotals via GROUP BY ROLLUP (nation, year): detail
+    rows, per-nation subtotals, and the grand total in ONE pass — Spark
+    plans rollup as a single Expand + hash aggregate, so the three levels
+    cost one shuffle, not three scans.  grouping() flags disambiguate
+    subtotal rows from real values; one shared ANSI string serves both
+    engines."""
+    return sql(spark, sf_dir, SQL_REVENUE_ROLLUP)

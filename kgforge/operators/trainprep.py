@@ -298,3 +298,61 @@ def corpus_delta(spark, sf_dir):
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+# ------------------------------------------------------- sequence packing
+CONTEXT_LEN = 2048  # tokens per training sequence
+
+
+@query(
+    "sequence_pack",
+    oracle=rf"""
+    with toks as (
+      select doc_id, source,
+             len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             t -> t <> '')) as n_tokens
+      from documents
+    )
+    select doc_id, source, n_tokens::BIGINT as n_tokens,
+           coalesce(sum(n_tokens) over (partition by source order by doc_id
+                      rows between unbounded preceding and 1 preceding),
+                    0)::BIGINT as start_offset,
+           (coalesce(sum(n_tokens) over (partition by source order by doc_id
+                       rows between unbounded preceding and 1 preceding),
+                     0) // {CONTEXT_LEN})::BIGINT as bin_id
+    from toks
+    """,
+)
+def sequence_pack(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing: within each source stream,
+    documents concatenate in doc_id order and every doc is assigned the
+    training bin (CONTEXT_LEN-token window) its first token lands in —
+    the standard packing layout for LLM pretraining shards.  One window
+    over (source, doc_id) computes each doc's start offset as a running
+    sum; bin_id is integer division.  Scale: packing is per-source (the
+    shard key), so the only shuffle is source-keyed and streams in sorted
+    order — no global ordering is ever materialized; skewed sources split
+    fine because the running sum is a sequential scan per partition.
+    All-integer arithmetic (exact cross-engine hash)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+    ).withColumn("bin_id", F.expr(f"start_offset div {CONTEXT_LEN}"))
