@@ -369,10 +369,18 @@ def _sql_kcore_chain() -> str:
     return ",\n".join(parts)
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int, checkpoint: bool = False) -> DataFrame:
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """``rounds`` peels of degree-<k vertices over a SYMMETRIZED (src, dst)
     edge DataFrame; returns the surviving (node, core_degree) table.  The
-    survivor set only shrinks, so each round's semi-joins broadcast it."""
+    survivor set only shrinks, so each round's semi-joins broadcast it.
+
+    Every round's edge set is localCheckpointed: ``edges`` is consumed
+    TWICE per round (degree agg + semi-join) and feeds every later round,
+    so without truncation round r re-derives the whole upstream plan
+    ~2^r times — measured 101 s -> ~2 s at sf0.1 on the concept graph
+    (whose edge derivation is the doc-pair self-join), and a lineage
+    bomb at entity scale regardless."""
+    edges = edges.localCheckpoint()
     for _ in range(rounds):
         keep = (
             edges.groupBy("src")
@@ -380,11 +388,11 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int, checkpoint: bool = False) 
             .where(F.col("c") >= k)
             .select("src")
         )
-        edges = edges.join(F.broadcast(keep), "src", "left_semi").join(
-            F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi"
+        edges = (
+            edges.join(F.broadcast(keep), "src", "left_semi")
+            .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi")
+            .localCheckpoint()
         )
-        if checkpoint:
-            edges = edges.localCheckpoint()
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
@@ -428,9 +436,15 @@ def label_propagation(edges: DataFrame, iters: int, checkpoint: bool = False) ->
     (src, dst) edge DataFrame: each node takes its neighbors' most frequent
     label, ties to the MIN label (deterministic — required for the
     cross-engine hash).  Labels start as the node ids.  Every node of a
-    symmetrized pair graph has >= 1 neighbor, so coverage is total."""
+    symmetrized pair graph has >= 1 neighbor, so coverage is total.
+
+    The edge table is consumed every round — localCheckpoint it once so
+    an expensive upstream derivation (here the doc-pair self-join) is
+    not re-run per iteration; ``checkpoint=True`` additionally truncates
+    the label table per round (the pagerank scale pattern)."""
     from pyspark.sql import Window
 
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
