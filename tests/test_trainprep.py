@@ -1,9 +1,9 @@
 """Targeted checks for the training-prep + graph additions beyond the
 oracle rehearsal (tests/test_oracles.py covers value parity):
 
-- triangle counting: the degree-orientation kernel vs a brute-force
+- triangle counting: the adjacency-intersection kernel vs a brute-force
   itertools enumeration on a deterministic synthetic graph whose shape
-  (hub + cliques + chain) stresses the orientation tie-breaks;
+  (hub + cliques + chain) stresses hubs and half-closed neighborhoods;
 - plan shapes for the scale claims made in the docstrings
   (decontamination broadcasts the benchmark side; pii_redact is a
   map-only plan with zero exchanges).
