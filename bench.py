@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "rolling_7d",
     "sequence_pack",
     "sql_revenue_rollup",
+    "hybrid_rrf",
+    "length_percentile_filter",
 ]
 
 PIPELINE_BENCH_FILES = 3000

@@ -356,3 +356,144 @@ def sequence_pack(spark, sf_dir):
         "n_tokens",
         start.alias("start_offset"),
     ).withColumn("bin_id", F.expr(f"start_offset div {CONTEXT_LEN}"))
+
+
+# --------------------------------------------------------------- hybrid RRF
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+_SQL_BM25_CORE = f"""
+    tfx as ({{sql_tf}}),
+    dl as (select doc_id, sum(tf)::DOUBLE as dl from tfx group by doc_id),
+    stats as (select avg(dl) as avgdl from dl),
+    q as (
+      select term,
+             ln(((select count(*) from documents)::DOUBLE - df + 0.5) / (df + 0.5) + 1) as idf
+      from (select term, count(*)::DOUBLE as df from tfx
+            where term in (values {{qvals}}) group by term)
+    ),
+    bm as (
+      select tfx.doc_id,
+             round(sum(q.idf * (tfx.tf * {K1 + 1}) /
+                       (tfx.tf + {K1} * ({1 - B} + {B} * dl.dl / stats.avgdl))), {ROUND}) as score
+      from tfx join q using (term) join dl using (doc_id), stats
+      group by tfx.doc_id order by score desc, doc_id limit 20
+    )
+"""
+
+
+def _sql_hybrid_rrf() -> str:
+    from .text import SQL_IDF, SQL_TFIDF, _QUERY_VALUES
+
+    bm_core = _SQL_BM25_CORE.format(sql_tf=SQL_TF, qvals=_QVALS)
+    return f"""
+    with {bm_core},
+    bmr as (select doc_id, row_number() over (order by score desc, doc_id) as r from bm),
+    w as ({SQL_TFIDF}),
+    norms as (select doc_id, sqrt(sum(w*w)) as nrm from w group by doc_id),
+    qv as (select term, idf as qw from ({SQL_IDF}) where term in (values {_QUERY_VALUES})),
+    qn as (select sqrt(sum(qw*qw)) as qnrm from qv),
+    cs as (
+      select w.doc_id,
+             round(sum(w.w * qv.qw) / (any_value(norms.nrm) * (select qnrm from qn)), {ROUND}) as score
+      from w join qv using (term) join norms using (doc_id)
+      group by w.doc_id order by score desc, doc_id limit 20
+    ),
+    csr as (select doc_id, row_number() over (order by score desc, doc_id) as r from cs)
+    select doc_id,
+           bmr.r::BIGINT as bm25_rank,
+           csr.r::BIGINT as cos_rank,
+           round(coalesce(1.0 / ({RRF_K} + bmr.r), 0)
+                 + coalesce(1.0 / ({RRF_K} + csr.r), 0), {ROUND}) as rrf
+    from bmr full outer join csr using (doc_id)
+    """
+
+
+@query("hybrid_rrf", oracle=_sql_hybrid_rrf())
+def hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: the union of the BM25
+    top-20 and the cosine-tf-idf top-20, scored 1/(60+rank) per list —
+    the standard way to fuse a lexical and a vector ranker without score
+    calibration (the reference ships both rankers separately;
+    /root/reference/search/tf_idf_search.py:53-85 vs bert_search.py).
+    The rank windows run AFTER each ranker's top-k, so the
+    single-partition row_number touches 20 rows, never the corpus —
+    fusing full rankings would serialize the whole score table through
+    one task."""
+    from pyspark.sql import Window
+
+    from .text import cosine_tfidf_search
+
+    wspec = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm25_search(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wspec).cast("long").alias("bm25_rank")
+    )
+    csr = cosine_tfidf_search(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wspec).cast("long").alias("cos_rank")
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0)),
+        ROUND,
+    )
+    return bmr.join(csr, "doc_id", "full_outer").select(
+        "doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf")
+    )
+
+
+# ------------------------------------------------- percentile length trim
+TRIM_LO_PCT = 5
+TRIM_HI_PCT = 95
+
+
+@query(
+    "length_percentile_filter",
+    oracle=rf"""
+    with toks as (
+      select doc_id, source,
+             len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             t -> t <> '')) as n_tokens
+      from documents
+    ),
+    ranked as (
+      select doc_id, source, n_tokens::BIGINT as n_tokens,
+             row_number() over (partition by source
+                                order by n_tokens, doc_id) as rn,
+             count(*) over (partition by source) as n
+      from toks
+    )
+    select doc_id, source, n_tokens from ranked
+    where rn > (n * {TRIM_LO_PCT}) // 100
+      and rn <= (n * {TRIM_HI_PCT} + 99) // 100
+    """,
+)
+def length_percentile_filter(spark, sf_dir):
+    """Per-source length trimming: drop the shortest {lo}% and longest
+    {hi}%-tail of documents by token count — the outlier cut a cleaning
+    pipeline applies before mixture sampling.  EXACT positional trim
+    (row_number within source, integer-only cutoff arithmetic), not
+    approx_percentile: deterministic, identical in both engines, and at
+    scale still one source-keyed shuffle + one window pass — the same
+    cost approxQuantile would pay for a non-reproducible answer.""".format(
+        lo=TRIM_LO_PCT, hi=100 - TRIM_HI_PCT
+    )
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    return ranked.where(
+        (F.col("rn") > F.expr(f"(n * {TRIM_LO_PCT}) div 100"))
+        & (F.col("rn") <= F.expr(f"(n * {TRIM_HI_PCT} + 99) div 100"))
+    ).select("doc_id", "source", "n_tokens")
