@@ -111,3 +111,50 @@ def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+def interval_join_stream(events: DataFrame, window_minutes: int = 5,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream event-time range join: every (error, click) pair with
+    the click inside the error's (ts, ts + window] — the streaming twin of
+    the batch ``interval_join`` query (operators/eventops.py).
+
+    Spark REQUIRES an equality predicate on stream-stream joins — the
+    batch query's bucketization trick (time bucketed at window width, the
+    interval side exploded x2) is precisely what makes the range join
+    streamable: the bucket id is the equi-key, the range predicate
+    evaluates inside the matched bucket, and the two-sided time bound
+    plus watermarks lets Spark expire buffered state.  Works identically
+    on a batch DataFrame (no watermark branch) for the parity oracle.
+    Inner join only: zero-click errors need the batch path (stream-stream
+    outer joins emit on watermark expiry, trading latency for
+    completeness)."""
+    bucket_us = window_minutes * 60_000_000
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("ets"),
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros(ts) div {bucket_us}"),
+                F.expr(f"unix_micros(ts) div {bucket_us}") + F.lit(1),
+            )
+        ).alias("bucket"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("bucket"),
+    )
+    if events.isStreaming:
+        err = err.withWatermark("ets", watermark)
+        clk = clk.withWatermark("cts", watermark)
+    # the time bounds live INSIDE the join condition (not a post-join
+    # filter): Spark derives the state-expiry watermark from the join
+    # predicate, so buffered rows are dropped as event time advances.
+    cond = (
+        (F.col("e.bucket") == F.col("c.bucket"))
+        & (F.col("c.cts") > F.col("e.ets"))
+        & (F.col("c.cts") <= F.col("e.ets") + F.expr(f"interval {window_minutes} minutes"))
+    )
+    return err.alias("e").join(clk.alias("c"), cond).select("err_id", "click_id")

@@ -65,3 +65,32 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
         .sort_values("user_id", ignore_index=True)[["user_id", "n_sessions", "n_events"]]
     )
     pd.testing.assert_frame_equal(got[["user_id", "n_sessions", "n_events"]], want, check_dtype=False)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream time-range self-join parity: the availableNow run
+    over the file source must emit exactly the batch join's pair set."""
+    import shutil
+
+    from kgforge.streaming.events import interval_join_stream, read_events_stream
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    src_dir = tmp_path / "events_ivj_src"
+    src_dir.mkdir()
+    shutil.copy(src, src_dir / "part-0.parquet")
+    stream = interval_join_stream(read_events_stream(spark, str(src_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["err_id"], r["click_id"]) for r in spark.sql("select * from ivj").collect()}
+
+    batch = interval_join_stream(spark.read.parquet(src))
+    want = {(r["err_id"], r["click_id"]) for r in batch.collect()}
+    assert want, "fixture must produce at least one in-window pair"
+    assert got == want
