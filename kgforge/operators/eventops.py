@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .registry import query, table
+from .registry import ROUND, query, table
 
 ASOF_A = "purchase"  # the probe stream (gets enriched)
 ASOF_B = "click"  # the reference stream (carried forward)
@@ -272,4 +272,60 @@ def rolling_7d(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
     return daily.select(
         "user_id", "day", "n_events", F.sum("n_events").over(w).alias("n_7d")
+    )
+
+
+# --------------------------------------------------------- cohort retention
+# Weekly cohort retention: users are grouped by the ISO week of their
+# FIRST event (the cohort), and each later week they show any activity
+# increments that (cohort, offset) cell; retention = active / cohort
+# size.  The product-analytics staple that composes two shuffles the
+# reference has no vocabulary for: a per-user min (first touch) and a
+# distinct (user, week) activity grid, joined back on user_id — both
+# keyed on user_id, so AQE coalesces them into one exchange chain.  At
+# scale the (user, week) distinct is the only corpus-sized aggregate;
+# cohort sizes are |users| and the final cell grid is tiny.  Weeks are
+# int64 indices (epoch_us of the Monday div WEEK_US) per the module's
+# no-float-no-date hashing convention.
+WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    with act as (
+      select distinct user_id, epoch_us(date_trunc('week', ts)) // {WEEK_US} as week
+      from events
+    ),
+    first as (select user_id, min(week) as cohort_week from act group by user_id),
+    size_ as (select cohort_week, count(*)::BIGINT as cohort_n from first group by cohort_week),
+    cells as (
+      select f.cohort_week, a.week - f.cohort_week as week_offset, count(*)::BIGINT as n_active
+      from act a join first f on f.user_id = a.user_id
+      group by 1, 2
+    )
+    select c.cohort_week, c.week_offset, c.n_active,
+           round(c.n_active / s.cohort_n, {ROUND}) as retention
+    from cells c join size_ s on s.cohort_week = c.cohort_week
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """(cohort_week, week_offset) activity cells with retention rate;
+    weeks and offsets are exact int64 epoch arithmetic (no float dates)."""
+    ev = _events(spark, sf_dir)
+    week = F.expr(f"unix_micros(date_trunc('week', cast(ts as timestamp))) div {WEEK_US}")
+    act = ev.select("user_id", week.alias("week")).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    size = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_n"))
+    cells = (
+        act.join(first, "user_id")
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("cohort_n"), ROUND).alias("retention"),
     )

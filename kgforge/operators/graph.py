@@ -496,3 +496,93 @@ def label_propagation_query(spark, sf_dir):
     graph; emits each concept's final community label."""
     labels = label_propagation(_concept_edges(spark, sf_dir), LP_ITERS)
     return labels.select(F.col("node").alias("concept"), F.col("lab").alias("community"))
+
+
+# ------------------------------------------------- multi-source BFS levels
+# Shortest hop distance from a seed set — the reachability primitive
+# behind ontology-rooted concept depth (data/wm_ontology.py:40-71 builds
+# exactly this adjacency for its matrix walk) and "within-k-hops of a
+# trusted node" corpus filters.  Runs over the REAL-SIZE co-purchase
+# graph (the triangle_count edge set, ~10^5 edges at sf0.01), not the
+# 10-node concept toy.
+#
+# Scale shape: classic frontier-expansion BFS — each round is ONE
+# equi-join of the (shrinking) frontier against the edge table
+# partitioned by src, an anti-join against the visited set, and a
+# localCheckpoint to truncate lineage (the canonical.py CC pattern).
+# Work per round is |frontier| x avg-degree, never O(V^2); the visited
+# set only ever grows by the new frontier, so the union chain is flat.
+# The oracle re-derives the same levels with a bounded recursive CTE —
+# an independent formulation (set-semantics closure vs frontier loop).
+BFS_SEED_MAX = 3   # seeds: part ids <= 3 present in the graph
+BFS_MAX_HOPS = 3   # bounded exploration depth
+
+
+def bfs_levels_frontier(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """(node, dist) shortest hop distances from ``seeds`` over symmetrized
+    ``edges(src, dst)``, exploring at most ``max_hops`` rounds.  Each
+    round's new frontier is checkpointed so the plan stays flat."""
+    edges = tracked_cache(edges)
+    dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint()
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist
+
+
+@query(
+    "bfs_levels",
+    oracle=f"""
+    with recursive e0 as (
+      select distinct l1.l_partkey::BIGINT as a, l2.l_partkey::BIGINT as b
+      from lineitem l1 join lineitem l2
+        on l1.l_orderkey = l2.l_orderkey and l1.l_partkey < l2.l_partkey
+    ),
+    e as (select a as src, b as dst from e0 union all select b, a from e0),
+    walk(node, dist) as (
+      select distinct src as node, 0 as dist from e where src <= {BFS_SEED_MAX}
+      union
+      select e.dst, w.dist + 1 from walk w join e on e.src = w.node
+      where w.dist < {BFS_MAX_HOPS}
+    )
+    select node, min(dist)::BIGINT as dist from walk group by node
+    """,
+)
+def bfs_levels(spark, sf_dir):
+    """Hop distance (<= BFS_MAX_HOPS) from the seed parts over the
+    co-purchase graph.  Same edge derivation as triangle_count; the
+    per-order pair explosion is bounded by TPC-H's <= 7 lines/order."""
+    from .registry import table as _table
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").cast("long").alias("a"),
+            F.col("y.l_partkey").cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") <= BFS_SEED_MAX)
+        .distinct()
+    )
+    return bfs_levels_frontier(edges, seeds, BFS_MAX_HOPS)

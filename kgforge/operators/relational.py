@@ -298,3 +298,56 @@ def event_sessions(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------- skew profile
+# Heavy-hitter / key-skew diagnostics: the FIRST query anyone runs before
+# choosing a join strategy at 100 TB — "is this key salted-repartition
+# material or broadcast material?".  Top-N keys by frequency with each
+# key's share and the running cumulative share of the head.  One hash
+# aggregate (map-side partial combine collapses the hot key BEFORE the
+# shuffle — profiling a skewed key must not itself skew) + a top-N cut;
+# the cumulative window runs over N rows only.
+SKEW_TOPN = 20
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    with c as (
+      select l_partkey::BIGINT as key, count(*)::BIGINT as n
+      from lineitem group by l_partkey
+    ),
+    tot as (select sum(n) as t, count(*) as n_keys from c),
+    top as (
+      select key, n, row_number() over (order by n desc, key) as rank
+      from c
+    )
+    select rank, key, n,
+           round(n / tot.t, {ROUND}) as share,
+           round(sum(n) over (order by rank) / tot.t, {ROUND}) as cum_share
+    from top, tot where rank <= {SKEW_TOPN}
+    """,
+)
+def heavy_hitters(spark, sf_dir):
+    """Top-{n} heaviest lineitem part keys with share + cumulative share
+    of total rows.""".format(n=SKEW_TOPN)
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").cast("long").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(F.sum("n").cast("double").alias("t"))
+    # global top-N via orderBy+limit -> TakeOrderedAndProject; the rank /
+    # cumulative window then runs over SKEW_TOPN rows on one task.
+    top = c.orderBy(F.desc("n"), F.asc("key")).limit(SKEW_TOPN)
+    w_rank = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("share", F.round(F.col("n") / F.col("t"), ROUND))
+        .withColumn(
+            "cum_share",
+            F.round(F.sum("n").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)) / F.col("t"), ROUND),
+        )
+        .select("rank", "key", "n", "share", "cum_share")
+    )

@@ -639,3 +639,74 @@ def ann_sq8_topk(spark, sf_dir):
         .where(F.col("rn") <= TOPK)
         .select("qid", "vec_id", "score")
     )
+
+
+# ------------------------------------------------------------- SemDeDup
+# Semantic dedup the SemDeDup way (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space with k-means, then prune WITHIN each
+# cluster any point whose cosine to a lower-id cluster-mate exceeds the
+# threshold — the survivor of every semantic near-dup group is its
+# minimum id (deterministic keep-first policy).  The reference's exact
+# analog is the all-pairs cosine scan (/root/reference/search/
+# bert_search.py:176-181); the cluster blocking is what makes it a
+# bounded self-join instead of O(N^2).
+#
+# Scale shape: K grows with the corpus (SemDeDup uses K ~ 50k on LAION)
+# so the expected cluster size N/K stays bounded; the pairwise pass is
+# then O(N * N/K) total, partitioned by cluster id — an equi-join, never
+# a corpus-wide cross.  A hot cluster is the same failure mode as a hot
+# LSH bucket; production would add the NEARDUP_MAX_BLOCK anti-join valve
+# from operators/dedup.py (not applied here so the oracle stays an exact
+# twin at K=4).
+SEMDEDUP_TH = 0.4  # prune y if round(cos(x, y), ROUND) >= TH for some x < y
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    with {_SQL_KM_BASE},
+    {_SQL_KM_CHAIN},
+    m as (
+      select e.vec_id, a.cluster, e.embedding
+      from embeddings e join a{KM_ITERS} a on a.vec_id = e.vec_id
+    ),
+    pruned as (
+      select distinct y.vec_id
+      from m x join m y on x.cluster = y.cluster and x.vec_id < y.vec_id
+      where round({_SQL_COS.format(a="x.embedding", b="y.embedding")}, {ROUND}) >= {SEMDEDUP_TH}
+    )
+    select m.vec_id, m.cluster, (p.vec_id is null) as keep
+    from m left join pruned p on p.vec_id = m.vec_id
+    """,
+)
+def semdedup_prune(spark, sf_dir):
+    """Cluster-then-prune semantic dedup: Lloyd k-means (the exact
+    kmeans_assign rounds, oracle-unrolled) blocks the corpus, an
+    intra-cluster self-join marks every vector with a >= SEMDEDUP_TH
+    cosine to a smaller-id cluster-mate, survivors keep ``keep=true``.
+    Norms and double-casts are hoisted out of the pair join (per-vector,
+    not per-pair work)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = tracked_cache(e.select("vec_id", F.posexplode(_dvec("embedding")).alias("pos", "x")))
+    _, a = _lloyd(v)
+    m = tracked_cache(
+        e.join(a, "vec_id")
+        .select("vec_id", "cluster", _dvec("embedding").alias("vec"))
+        .withColumn("norm", F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda s, x: s + x * x)))
+    )
+    x = m.select("cluster", F.col("vec_id").alias("a"), F.col("vec").alias("ea"), F.col("norm").alias("na"))
+    y = m.select("cluster", F.col("vec_id").alias("b"), F.col("vec").alias("eb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda p, q: p * q), F.lit(0.0), lambda s, u: s + u)
+    pruned = (
+        x.join(y, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .where(F.round(dot / (F.col("na") * F.col("nb")), ROUND) >= SEMDEDUP_TH)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("pr", F.lit(True))
+    )
+    return (
+        m.select("vec_id", "cluster")
+        .join(pruned, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("pr").isNull().alias("keep"))
+    )

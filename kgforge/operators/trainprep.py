@@ -497,3 +497,51 @@ def length_percentile_filter(spark, sf_dir):
         (F.col("rn") > F.expr(f"(n * {TRIM_LO_PCT}) div 100"))
         & (F.col("rn") <= F.expr(f"(n * {TRIM_HI_PCT} + 99) div 100"))
     ).select("doc_id", "source", "n_tokens")
+
+
+# --------------------------------------------------- deterministic split
+# Hash-coin train/val/test assignment: the split of a document depends
+# ONLY on its id (salted so it is independent of mixture_sample's coin),
+# never on ordering, partitioning, or corpus growth — adding documents
+# never moves an existing one across splits, which is the property that
+# keeps eval sets stable across ingest waves.  The md5-prefix coin is
+# the engine-portable uniform hash (Spark conv() == DuckDB '0x'-cast)
+# used by mixture_sample/exact-dup.  Pure map over the scan: at 100 TB
+# this MUST be a map — any shuffle-based splitter pays a full
+# repartition just to stamp a label.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    select doc_id,
+           case when b < {SPLIT_TRAIN_PCT} then 'train'
+                when b < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} then 'val'
+                else 'test' end as split
+    from (
+      select doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 as b
+      from documents
+    )
+    """,
+)
+def dataset_split(spark, sf_dir):
+    """90/5/5 train/val/test assignment from a salted per-doc hash coin."""
+    docs = table(spark, sf_dir, "documents")
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(coin < SPLIT_TRAIN_PCT, "train")
+        .when(coin < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

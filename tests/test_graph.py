@@ -118,3 +118,38 @@ def test_cc_incremental_merge_semantics(spark):
     assert got[11] == 1  # merged across the new edge down to the global min
     assert got[30] == 30 and got[31] == 30  # new-only component
     assert got[20] == 20 and got[21] == 20  # untouched old component
+
+
+def test_bfs_levels_frontier_shortest_hops(spark):
+    """Path graph 1-2-3-4-5 plus a shortcut 1-4: BFS from {1} must take
+    the 1-hop shortcut to 4 (not the 3-hop path) and stop at max_hops."""
+    from kgforge.operators.graph import bfs_levels_frontier
+
+    undirected = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (6, 7)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_levels_frontier(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}  # 6,7 unreachable
+
+
+def test_bfs_levels_frontier_multi_source_min(spark):
+    """Two seeds: each node gets the distance to its NEAREST seed."""
+    from kgforge.operators.graph import bfs_levels_frontier
+
+    undirected = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_levels_frontier(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
