@@ -87,6 +87,16 @@ BENCH_QUERIES = [
     "sql_revenue_rollup",
     "hybrid_rrf",
     "length_percentile_filter",
+    # round-3 third-session additions
+    "semdedup_prune",
+    "bfs_levels",
+    "heavy_hitters",
+    "cohort_retention",
+    "dataset_split",
+    "keyword_textrank",
+    "kmv_distinct",
+    "value_outliers",
+    "ann_pq_topk",
 ]
 
 PIPELINE_BENCH_FILES = 3000

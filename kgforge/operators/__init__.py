@@ -19,6 +19,7 @@ def load_all() -> None:
     ~50-query correctness window as rounds accumulate.
     """
     from . import (  # noqa: F401
+        sketches,
         eventops,
         wordsearch,
         sqlsurface,

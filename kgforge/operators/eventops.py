@@ -329,3 +329,55 @@ def cohort_retention(spark, sf_dir):
         "n_active",
         F.round(F.col("n_active") / F.col("cohort_n"), ROUND).alias("retention"),
     )
+
+
+# ------------------------------------------------------- robust outliers
+# Median/MAD outlier flagging per event type: the robust z-score
+# (|x - median| / MAD) is the standard anomaly cut that survives the
+# heavy-tailed value distributions a mean/stddev z-score is wrecked by.
+# Exact interpolated medians on both engines (Spark ``percentile`` ==
+# DuckDB ``quantile_cont``), never approx_percentile — approximate
+# quantiles are sketch-dependent and would break the cross-engine hash.
+# Scale: two type-keyed aggregates (median, then MAD of residuals) and
+# one broadcast join back — the event stream is never sorted globally,
+# and the per-type percentile is a single-pass sort-agg within each
+# type's partition.
+OUTLIER_Z = 3.0
+
+
+@query(
+    "value_outliers",
+    oracle=f"""
+    with med as (
+      select event_type, quantile_cont(value, 0.5) as med
+      from events group by event_type
+    ),
+    mad as (
+      select e.event_type, quantile_cont(abs(e.value - m.med), 0.5) as mad
+      from events e join med m using (event_type) group by e.event_type
+    )
+    select e.event_id, e.event_type,
+           round(abs(e.value - m.med) / d.mad, {ROUND}) as z
+    from events e
+    join med m using (event_type)
+    join mad d using (event_type)
+    where d.mad > 0
+      and round(abs(e.value - m.med) / d.mad, {ROUND}) > {OUTLIER_Z}
+    """,
+)
+def value_outliers(spark, sf_dir):
+    """Events whose robust z-score exceeds {z} MADs from their type's
+    median.  The cut compares the ROUNDED score so the boundary row set
+    is engine-stable.""".format(z=OUTLIER_Z)
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    resid = ev.join(F.broadcast(med), "event_type")
+    mad = resid.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    z = F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), ROUND)
+    return (
+        resid.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (z > OUTLIER_Z))
+        .select("event_id", "event_type", z.alias("z"))
+    )

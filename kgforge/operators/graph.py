@@ -586,3 +586,75 @@ def bfs_levels(spark, sf_dir):
         .distinct()
     )
     return bfs_levels_frontier(edges, seeds, BFS_MAX_HOPS)
+
+
+# --------------------------------------------------------- TextRank keywords
+# TextRank (Mihalcea & Tarau 2004): keyword extraction = PageRank over
+# the token-adjacency co-occurrence graph.  Composes two library pieces
+# end-to-end — the corpus tokenizer (text.py lockstep regex) and the
+# generic ``pagerank`` kernel — and the oracle re-derives BOTH: bigram
+# edges via aligned list unnests, ranks via the unrolled _SQL_PR_CHAIN.
+#
+# Scale shape: the edge build is one explode + a lead() window that
+# reuses the doc-keyed partitioning (no second exchange), then a distinct
+# on (t1, t2) — bounded by the corpus bigram vocabulary, NOT the token
+# count.  The rank loop inherits pagerank's audited per-round plan.
+TEXTRANK_TOPK = 20
+
+_SQL_TEXTRANK_EDGES = r"""
+toks as (
+  select doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '') as ts
+  from documents
+),
+bi as (
+  select distinct t1, t2 from (
+    select unnest(ts[1:len(ts) - 1]) as t1, unnest(ts[2:len(ts)]) as t2
+    from toks where len(ts) >= 2
+  ) where t1 <> t2
+),
+sym as (select t1 as src, t2 as dst from bi union select t2, t1 from bi),
+nodes as (select distinct src as node from sym),
+nn as (select count(*)::DOUBLE as n from nodes),
+deg as (select src, count(*)::DOUBLE as d from sym group by src),
+w as (select sym.src, sym.dst, 1.0 / deg.d as w from sym join deg using (src))
+"""
+
+
+@query(
+    "keyword_textrank",
+    oracle=f"""
+    with {_SQL_TEXTRANK_EDGES},
+    {_SQL_PR_CHAIN}
+    select term, rank from (
+      select node as term, round(r, {ROUND}) as rank,
+             row_number() over (order by round(r, {ROUND}) desc, node) as rn
+      from r{PR_ITERS}
+    ) where rn <= {TEXTRANK_TOPK}
+    """,
+)
+def keyword_textrank(spark, sf_dir):
+    """Top-{k} corpus keywords by PageRank over the undirected
+    token-adjacency graph.""".format(k=TEXTRANK_TOPK)
+    from pyspark.sql import Window
+
+    from .registry import table as _table
+    from .text import _tokens_col
+
+    docs = _table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "t1"))
+    nxt = F.lead("t1").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bi = (
+        tok.withColumn("t2", nxt)
+        .where(F.col("t2").isNotNull() & (F.col("t1") != F.col("t2")))
+        .select("t1", "t2")
+        .distinct()
+    )
+    edges = (
+        bi.select(F.col("t1").alias("src"), F.col("t2").alias("dst"))
+        .unionByName(bi.select(F.col("t2").alias("src"), F.col("t1").alias("dst")))
+        .distinct()
+    )
+    ranks = pagerank(edges).select(
+        F.col("node").alias("term"), F.round("r", ROUND).alias("rank")
+    )
+    return ranks.orderBy(F.desc("rank"), F.asc("term")).limit(TEXTRANK_TOPK)
