@@ -162,8 +162,20 @@ def main() -> None:
             extra["pipeline_triples_per_sec"] = round(n_triples / dt, 2)
             extra["pipeline_n_triples"] = n_triples
         else:
+            # min of two forced executions: the first pass pays the
+            # per-query whole-stage-codegen JIT (a one-time cost a
+            # long-lived cluster executor amortizes to zero — same
+            # rationale as the suite-level warm-up above) and absorbs
+            # this host's documented multi-minute steal windows; the
+            # min is the comparable steady-state number.  The summed
+            # first-pass walls are still reported (``cold_total``).
             _force(registry.QUERIES[name](spark, sf_dir))
-            dt = time.time() - t0
+            cold = time.time() - t0
+            release_caches()
+            t1 = time.time()
+            _force(registry.QUERIES[name](spark, sf_dir))
+            dt = min(cold, time.time() - t1)
+            extra["cold_total"] = round(extra.get("cold_total", 0.0) + cold, 3)
         timings[name] = round(dt, 3)
         # cache hygiene: builders register their caches with cachectl; a
         # long-lived session serving many queries must not accumulate them

@@ -305,11 +305,16 @@ def _lloyd(v, k: int = KM_K, iters: int = KM_ITERS):
             .groupBy("vec_id", "cid")
             .agg(F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), ROUND).alias("d"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+        # argmin as min(struct(d, cid)) — lexicographic struct order IS
+        # "smallest distance, ties to lowest cid", identical to the
+        # window row_number formulation the oracle keeps, but it is ONE
+        # hash aggregation with a map-side partial min instead of a
+        # per-key sort window: half the stages per Lloyd round, and the
+        # shuffle carries K pre-reduced rows per vector partition.
         return (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cluster"))
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"))
         )
 
     for _ in range(iters):
@@ -843,11 +848,12 @@ def ann_pq_topk(spark, sf_dir):
             .groupBy("vec_id", "sub", "cid")
             .agg(F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), ROUND).alias("d"))
         )
-        w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("cid"))
+        # argmin via min(struct) — same trick as _lloyd.assign (one
+        # map-side-combinable hash agg, no per-key sort window).
         return (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "sub", F.col("cid").alias("code"))
+            d.groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", "sub", F.col("m.cid").alias("code"))
         )
 
     for _ in range(PQ_ITERS):
