@@ -41,7 +41,8 @@ from pyspark.sql import functions as F
 from ..cachectl import tracked_cache
 from .corpusops import sql_wins, wins_df
 from .registry import ROUND, query, table
-from .text import QUERY_TERMS, SQL_TF, _tf
+from .similarity import _SQL_COS, _cos
+from .text import QUERY_TERMS, SQL_TF, _tf, _tokens_col
 
 # ------------------------------------------------------------------- BM25
 K1 = 1.2
@@ -544,4 +545,171 @@ def dataset_split(spark, sf_dir):
         .when(coin < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+# ------------------------------------------------ BPE merge-pair counting
+# One round of BPE/WordPiece vocabulary induction: the corpus-global
+# adjacent-token-pair frequencies whose argmax IS the next merge rule
+# (Sennrich et al. 2016, public method).  The pair table is built
+# map-side inside the token array (two slices + zip_with — no positional
+# self-join, no window over a corpus-wide (doc, pos) sort), so the only
+# shuffle is the final combiner-friendly hash agg on (a, b); the top-30
+# cut compiles to TakeOrderedAndProject.  At 100 TB the pair-count agg
+# is exactly the word-count shape: map-side partial aggregation absorbs
+# the Zipf head before anything crosses the wire.
+BPE_TOP = 30
+
+
+@query(
+    "bpe_merge_counts",
+    oracle=rf"""
+    with toks as (
+      select doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '') as t
+      from documents
+    ),
+    pairs as (
+      select t[i] as a, t[i+1] as b
+      from toks cross join unnest(generate_series(1, len(t) - 1)) as g(i)
+      where len(t) >= 2
+    )
+    select a, b, count(*)::BIGINT as cnt
+    from pairs group by a, b
+    order by cnt desc, a, b
+    limit {BPE_TOP}
+    """,
+)
+def bpe_merge_counts(spark, sf_dir):
+    """Top-30 adjacent-token-pair frequencies (the next-BPE-merge table)."""
+    docs = table(spark, sf_dir, "documents")
+    t = _tokens_col()
+    n = F.size(t)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(BPE_TOP)
+    )
+
+
+# --------------------------------------------------------- shard manifest
+# Deterministic training-shard assignment + per-shard manifest: the
+# "write the training mixture as fixed fan-out shards" step.  Shard id
+# is a salted hash coin on doc_id (growth-stable like dataset_split:
+# adding documents never moves existing ones), so sharding is a pure
+# map — a writer would partitionBy(shard) with zero pre-shuffle.  The
+# manifest row carries count/bytes plus an order-insensitive bit_xor
+# content signature per shard — the cheap per-partition integrity check
+# a resume/audit pass re-derives and compares (the same role as the
+# pipeline's per-partition lineage rows, stages/materialize.py).
+N_SHARDS = 16
+
+
+@query(
+    "shard_manifest",
+    oracle=f"""
+    select (('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 8))::BIGINT % {N_SHARDS}) as shard,
+           count(*)::BIGINT as n_docs,
+           sum(n_chars)::BIGINT as total_chars,
+           min(doc_id) as min_doc,
+           max(doc_id) as max_doc,
+           bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) as content_sig
+    from documents
+    group by shard
+    """,
+)
+def shard_manifest(spark, sf_dir):
+    """Per-shard manifest (count, bytes, id range, xor content signature)."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % N_SHARDS
+    )
+    digest = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select(shard.alias("shard"), "doc_id", "n_chars", digest.alias("dg"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.expr("bit_xor(dg)").alias("content_sig"),
+        )
+    )
+
+
+# ----------------------------------------- embedding decontamination
+# Semantic train/test overlap: flag training vectors whose cosine to ANY
+# held-out benchmark vector reaches EMB_DECON_THRESH (the embedding
+# analog of the n-gram `decontamination` query — catches paraphrased
+# contamination that token windows miss; public method per PaLM 2 /
+# GPT-4 eval-contamination reports).  The benchmark slice is small by
+# construction (eval sets are KBs-MBs vs a 100 TB corpus), so it rides
+# as ONE broadcast nested-loop pass over the corpus — the corpus side is
+# never shuffled; the per-vector argmax is the same map-side-combinable
+# min(struct) hash agg as Lloyd assignment (similarity._lloyd).  For
+# benchmark sets too big to broadcast, the sign-LSH blocked join
+# (embedding_near_dups_lsh) is the drop-in candidate generator.
+EMB_DECON_MOD = 20  # vec_id % 20 == 7 -> held-out benchmark vector (5%)
+EMB_DECON_THRESH = 0.3
+
+
+@query(
+    "emb_decontamination",
+    oracle=f"""
+    with b as (select vec_id as bid, embedding as be from embeddings
+               where vec_id % {EMB_DECON_MOD} = 7),
+    scored as (
+      select e.vec_id, b.bid,
+             round({_SQL_COS.format(a="e.embedding", b="b.be")}, {ROUND}) as score
+      from embeddings e cross join b
+      where e.vec_id % {EMB_DECON_MOD} <> 7
+    )
+    select vec_id, bid as bench_id, score,
+           (score >= {EMB_DECON_THRESH}) as contaminated
+    from (
+      select vec_id, bid, score,
+             row_number() over (partition by vec_id order by score desc, bid) as rn
+      from scored
+    ) where rn = 1
+    """,
+)
+def emb_decontamination(spark, sf_dir):
+    """Per-training-vector nearest benchmark vector + contamination flag."""
+    e = table(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id") % EMB_DECON_MOD == 7).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("be")
+    )
+    corpus = e.where(F.col("vec_id") % EMB_DECON_MOD != 7)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bid",
+        F.round(_cos("embedding", "be"), ROUND).alias("score"),
+    )
+    # argmax as min(struct(-score, bid)): highest score, ties to lowest
+    # benchmark id — one map-side-combinable hash agg, no sort window.
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("bid"))).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.bid").alias("bench_id"),
+            (-F.col("m.ns")).alias("score"),
+            (-F.col("m.ns") >= EMB_DECON_THRESH).alias("contaminated"),
+        )
     )

@@ -124,3 +124,68 @@ def test_pq_recall_vs_bruteforce(spark):
     got = {(r["qid"], r["vec_id"]) for r in ann_pq_topk(spark, SF_DIR).collect()}
     assert len(truth) == 50
     assert len(got & truth) / len(truth) >= 0.85
+
+
+def test_bpe_pairs_match_python_zip(spark):
+    """The zip_with(slice, slice) bigram kernel must equal Python's
+    zip(t, t[1:]) over the same filtered token arrays — including docs
+    with <2 tokens contributing nothing."""
+    import re
+    from collections import Counter
+
+    from kgforge.operators.trainprep import BPE_TOP, bpe_merge_counts
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text").collect()
+    want = Counter()
+    for (text,) in rows:
+        toks = [t for t in re.split(r"\W+", text.lower()) if t]
+        want.update(zip(toks, toks[1:]))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP]
+    got = [
+        ((r["a"], r["b"]), r["cnt"])
+        for r in bpe_merge_counts(spark, SF_DIR).collect()
+    ]
+    assert got == top
+
+
+def test_shard_manifest_growth_stable(spark):
+    """Sharding is a pure function of doc_id: restricting the corpus to a
+    prefix never reassigns a surviving document's shard (the property that
+    makes incremental shard appends safe)."""
+    from kgforge.operators.trainprep import shard_manifest
+
+    full = shard_manifest(spark, SF_DIR)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    # one hash agg over the scan — no join, no window, single exchange
+    assert plan.count("Exchange") == 1 and "Join" not in plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import kgforge.operators.trainprep as tp
+
+    shard_expr = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % tp.N_SHARDS
+    )
+    a = {r["doc_id"]: r["s"] for r in docs.select("doc_id", shard_expr.alias("s")).collect()}
+    b = {
+        r["doc_id"]: r["s"]
+        for r in docs.where(F.col("doc_id") < 100).select("doc_id", shard_expr.alias("s")).collect()
+    }
+    assert all(a[k] == v for k, v in b.items())
+
+
+def test_emb_decontamination_broadcasts_bench_side(spark):
+    from kgforge.operators.trainprep import emb_decontamination
+
+    df = emb_decontamination(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+    # flagged rows must be exactly the rows at/above the threshold
+    rows = df.collect()
+    from kgforge.operators.trainprep import EMB_DECON_THRESH
+
+    assert rows and all((r["score"] >= EMB_DECON_THRESH) == r["contaminated"] for r in rows)
