@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "value_outliers",
     "ann_pq_topk",
+    # round-3 fourth-session additions
+    "bpe_merge_counts",
+    "shard_manifest",
+    "emb_decontamination",
 ]
 
 PIPELINE_BENCH_FILES = 3000

