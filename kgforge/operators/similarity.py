@@ -880,6 +880,11 @@ def ann_pq_topk(spark, sf_dir):
             .groupBy(F.col("code").alias("cid"), "pos")
             .agg(F.avg("x").alias("c"))
         )
+    # NOT cached: codes feeds both adot and rsq, but AQE exchange reuse
+    # already dedupes the shared training subtree — caching it was
+    # measured as a wash at sf0.1 (6.5 s either way; the wall here is
+    # ~20 sequential tiny-stage schedulings, the iterative-training
+    # floor at toy scale, not recomputation or shuffle volume).
     codes = assign(cent)  # (vec_id, sub, code) — the stored representation
 
     cf = tracked_cache(cent.withColumn("sub", (F.col("pos") / PQ_SUBDIM).cast("long")))
