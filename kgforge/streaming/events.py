@@ -98,13 +98,15 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
+def run_available_now(
+    df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "complete"
+):
     """Drain all available input into an in-memory table and stop —
     the batch-equivalent execution of the streaming plan."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -158,3 +160,22 @@ def interval_join_stream(events: DataFrame, window_minutes: int = 5,
         & (F.col("c.cts") <= F.col("e.ets") + F.expr(f"interval {window_minutes} minutes"))
     )
     return err.alias("e").join(clk.alias("c"), cond).select("err_id", "click_id")
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the ingest-time twin of the batch
+    ``exact_dup_groups`` family: re-delivered events (at-least-once
+    sources, replayed waves) are dropped on the id key as they arrive.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-correct form: plain
+    ``dropDuplicates`` on a stream keeps EVERY key seen forever (state
+    grows with the corpus), while the watermark variant expires a key's
+    state once the event-time horizon passes it — state is bounded by
+    (arrival rate x watermark), independent of stream lifetime, and any
+    duplicate arriving within the horizon is still caught.  Works on a
+    batch DataFrame for the parity oracle (plain dropDuplicates: batch
+    sees the whole input at once, so no horizon is needed)."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ev.isStreaming:
+        return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return ev.dropDuplicates(["event_id"])

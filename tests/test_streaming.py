@@ -94,3 +94,31 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     want = {(r["err_id"], r["click_id"]) for r in batch.collect()}
     assert want, "fixture must produce at least one in-window pair"
     assert got == want
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming exact dedup parity: two identical ingest waves (an
+    at-least-once redelivery) must collapse to exactly the original
+    event-id set, matching the batch dropDuplicates oracle."""
+    import shutil
+
+    src_dir = tmp_path / "events_dup_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "wave-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "wave-1.parquet")
+
+    stream = se.dedup_events_stream(se.read_events_stream(spark, str(src_dir)))
+    assert stream.isStreaming
+    se.run_available_now(stream, "dedup_test", str(tmp_path / "ckpt_dedup"), output_mode="append")
+
+    got = sorted(
+        r["event_id"] for r in spark.sql("select event_id from dedup_test").collect()
+    )
+    doubled = spark.read.parquet(str(src_dir))
+    want = sorted(
+        r["event_id"]
+        for r in se.dedup_events_stream(doubled).select("event_id").collect()
+    )
+    n_orig = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert doubled.count() == 2 * n_orig  # the redelivery really doubled the input
+    assert got == want and len(got) == n_orig
