@@ -158,10 +158,21 @@ def main() -> None:
             )
             files = spark.read.parquet(in_dir)
             files.count()  # warm scan metadata
+            # min of two, same rationale as the per-query path below: the
+            # first pipeline pass pays the codegen JIT for every stage
+            # (measured 15.3 s cold vs 6.9 s warm at 3k files in one JVM);
+            # each pass gets a fresh run root so both do full work.
+            dt, n_triples = None, 0
             t0 = time.time()
-            out = run_pipeline(spark, files, tempfile.mkdtemp(prefix="kgbench_", dir=base))
-            n_triples = out["triples"].count()
-            dt = time.time() - t0
+            for _ in range(2):
+                t1 = time.time()
+                out = run_pipeline(
+                    spark, files, tempfile.mkdtemp(prefix="kgbench_", dir=base)
+                )
+                n_triples = out["triples"].count()
+                wall = time.time() - t1
+                dt = wall if dt is None else min(dt, wall)
+            extra["cold_total"] = round(extra.get("cold_total", 0.0) + (time.time() - t0) - dt, 3)
             extra["pipeline_files_per_sec"] = round(PIPELINE_BENCH_FILES / dt, 2)
             extra["pipeline_triples_per_sec"] = round(n_triples / dt, 2)
             extra["pipeline_n_triples"] = n_triples
