@@ -67,3 +67,28 @@ def table_exists(spark: SparkSession, location: str) -> bool:
     p = jvm.org.apache.hadoop.fs.Path(location + "/_SUCCESS")
     fs = p.getFileSystem(conf)
     return bool(fs.exists(p))
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed external table — the co-located-join layout: two tables
+    bucketed (and sorted) on the same key with the same bucket count join
+    with ZERO exchanges, because every bucket file pair is already
+    key-aligned on disk (Spark reads bucket i of each side into the same
+    task).  At 100 TB this is the difference between re-shuffling the fact
+    table on every join and shuffling it ONCE at write time — the parquet
+    analog of the Iceberg bucket-partition transform this catalog maps to
+    when KGFORGE_TABLE_FORMAT=iceberg.  Bucketing requires a catalog
+    entry (saveAsTable); ``path`` keeps the data external so the table is
+    droppable without deleting files."""
+    w = df.write.mode(mode).option("path", path).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)

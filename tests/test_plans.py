@@ -219,3 +219,31 @@ def test_session_pins_north_rule_configs(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert spark.conf.get("spark.sql.maxConcurrentOutputFileWriters") == "16"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key + count must join with zero
+    Exchange nodes: the bucket layout IS the shuffle, paid once at write
+    time (the brief's 'bucketing for co-located joins')."""
+    from pyspark.sql import functions as F
+
+    from kgforge.catalog import write_bucketed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = docs.select("doc_id", F.length("text").alias("n"))
+    meta = docs.select("doc_id", "lang", "source")
+    write_bucketed(feats, "bkt_feats", str(tmp_path / "bf"), ["doc_id"], 8, ["doc_id"])
+    write_bucketed(meta, "bkt_meta", str(tmp_path / "bm"), ["doc_id"], 8, ["doc_id"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bkt_feats").join(spark.table("bkt_meta"), "doc_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan and "SortMergeJoin" in plan
+            assert j.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("drop table if exists bkt_feats")
+        spark.sql("drop table if exists bkt_meta")
