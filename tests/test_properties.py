@@ -60,3 +60,28 @@ def test_canonical_pair_symmetry(pairs):
     fwd = pd.DataFrame(pairs, columns=["a", "b"])
     rev = pd.DataFrame([(b, a) for a, b in pairs], columns=["a", "b"])
     assert twin_canonical(fwd) == twin_canonical(rev)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_packed_argmin_order_matches_lexicographic(pairs):
+    """The packed-long encoding (similarity._pack_argmin) must order
+    exactly like the (round(d, ROUND) asc, cid asc) tuple it replaces —
+    for every candidate set, min over the packed longs picks the same
+    (d, cid) as min over the tuples."""
+    from kgforge.operators.registry import ROUND
+    from kgforge.operators.similarity import _PACK_M
+
+    rounded = [(round(d, ROUND), cid) for d, cid in pairs]
+    packed = [round(d * 10**ROUND) * _PACK_M + cid for d, cid in rounded]
+    want = min(rounded)
+    got = rounded[packed.index(min(packed))]
+    assert got == want
