@@ -236,3 +236,63 @@ def mixture_sample(spark, sf_dir):
         docs.where(coin < F.lit(MIX_BUCKETS) * rate)
         .select("doc_id", "source", F.round(F.lit(1.0) / rate, ROUND).alias("weight"))
     )
+
+
+# ----------------------------------------------------------- winnowing
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+# the MOSS code-plagiarism kernel; public algorithm): hash every K-token
+# gram, then slide a window of WNW_W consecutive gram hashes and keep each
+# window's MINIMUM — the guarantee is that any shared substring of at
+# least K + WNW_W - 1 tokens contributes at least one IDENTICAL selected
+# fingerprint in both documents, while only ~2/(WNW_W+1) of the gram
+# hashes are kept.  Emitted as the per-doc fingerprint multiset
+# (fingerprint value + number of windows selecting it), the join-ready
+# form for a fingerprint-index equi-join.
+#
+# Scale shape: the one shuffle is the doc-keyed token explode the wins
+# machinery already pays; both the gram hash and the winnow min are
+# doc-partitioned window frames (never a global sort), and the final
+# count is a combiner-friendly hash agg on (doc_id, fp).  The gram hash
+# is the portable md5-prefix long (Spark conv == DuckDB '0x'-cast) so
+# both engines derive fingerprints independently from the raw text.
+WNW_K = 5  # tokens per gram
+WNW_W = 4  # gram hashes per winnow window
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+    with kg as (
+      select doc_id, pos, ('0x' || substr(md5(win), 1, 15))::BIGINT as h
+      from ({sql_wins(WNW_K)})
+    ),
+    wn as (
+      select doc_id,
+             min(h) over (partition by doc_id order by pos
+                          rows between current row and {WNW_W - 1} following) as fp,
+             count(*) over (partition by doc_id order by pos
+                            rows between current row and {WNW_W - 1} following) as n
+      from kg
+    )
+    select doc_id, fp, count(*)::BIGINT as n_windows
+    from wn where n = {WNW_W}
+    group by doc_id, fp
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    """Per-doc winnowing fingerprints: (doc_id, fp, n_windows)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    kg = wins_df(docs, WNW_K).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WNW_W - 1)
+    wn = kg.select(
+        "doc_id",
+        F.min("h").over(frame).alias("fp"),
+        F.count("h").over(frame).alias("n"),
+    ).where(F.col("n") == WNW_W)
+    return wn.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("n_windows"))

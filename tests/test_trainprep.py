@@ -200,3 +200,39 @@ def test_kmeans_argmin_is_hash_aggregate(spark):
 
     plan = kmeans_assign(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan and "HashAggregate" in plan
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a run of at
+    least K + W - 1 tokens must share at least one selected fingerprint
+    (Schleimer et al. §3).  Run the Spark kernel on a crafted pair where
+    the only common text is exactly that minimal run."""
+    from kgforge.operators import corpusops as co
+
+    shared = " ".join(f"tok{i}" for i in range(co.WNW_K + co.WNW_W - 1))
+    pdf = [
+        (1, f"alpha beta gamma {shared} delta epsilon zeta"),
+        (2, f"one two three four {shared} five six seven"),
+        (3, "totally unrelated words nowhere near the others at all here"),
+    ]
+    docs = spark.createDataFrame(pdf, ["doc_id", "text"])
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    kg = co.wins_df(docs, co.WNW_K).select(
+        "doc_id", "pos",
+        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, co.WNW_W - 1)
+    fps = (
+        kg.select("doc_id", F.min("h").over(frame).alias("fp"),
+                  F.count("h").over(frame).alias("n"))
+        .where(F.col("n") == co.WNW_W)
+        .select("doc_id", "fp").distinct().collect()
+    )
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
