@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "bpe_merge_counts",
     "shard_manifest",
     "emb_decontamination",
+    "winnow_fingerprints",
+    "winnow_near_dup_pairs",
 ]
 
 PIPELINE_BENCH_FILES = 3000

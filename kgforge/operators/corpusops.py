@@ -296,3 +296,82 @@ def winnow_fingerprints(spark, sf_dir):
         F.count("h").over(frame).alias("n"),
     ).where(F.col("n") == WNW_W)
     return wn.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("n_windows"))
+
+
+# Fingerprint-index near-dup pairs — winnowing's actual use (MOSS): an
+# equi-join on the selected fingerprints proposes pairs, the shared count
+# scores them.  By the winnowing guarantee, any pair sharing a token run
+# of length >= WNW_K + WNW_W - 1 collides on at least one fingerprint, so
+# recall over "share >= MIN_SHARED windows of common text" is structural,
+# not probabilistic.  Hot fingerprints (boilerplate grams selected by
+# > WNW_MAX_POSTING docs) are dropped from BOTH sides before the join —
+# the standard posting-list cap that bounds the self-join fan-out: at web
+# scale candidate volume is sum(posting^2) and the cap makes every term's
+# contribution O(cap^2).  One fp-keyed shuffle for the join, one hash agg
+# per pair; the shared CTE text keeps Spark and DuckDB in lock-step.
+WNW_MAX_POSTING = 50
+WNW_MIN_SHARED = 10
+
+_SQL_WNW_FPS = f"""
+    kg as (
+      select doc_id, pos, ('0x' || substr(md5(win), 1, 15))::BIGINT as h
+      from ({{wins}})
+    ),
+    wn as (
+      select doc_id,
+             min(h) over (partition by doc_id order by pos
+                          rows between current row and {WNW_W - 1} following) as fp,
+             count(*) over (partition by doc_id order by pos
+                            rows between current row and {WNW_W - 1} following) as n
+      from kg
+    ),
+    fps as (select doc_id, fp from wn where n = {WNW_W} group by doc_id, fp),
+    hot as (select fp from fps group by fp having count(*) > {WNW_MAX_POSTING}),
+    kept as (select * from fps anti join hot using (fp))
+"""
+
+
+@query(
+    "winnow_near_dup_pairs",
+    oracle=f"""
+    with {_SQL_WNW_FPS.format(wins=sql_wins(WNW_K))},
+    sizes as (select doc_id, count(*)::BIGINT as sz from kept group by doc_id),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b, count(*)::BIGINT as shared
+      from kept a join kept b on a.fp = b.fp and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select doc_a, doc_b, shared,
+           round(shared::DOUBLE / (sa.sz + sb.sz - shared), {ROUND}) as fp_jaccard
+    from pairs join sizes sa on sa.doc_id = doc_a join sizes sb on sb.doc_id = doc_b
+    where shared >= {WNW_MIN_SHARED}
+    """,
+)
+def winnow_near_dup_pairs(spark, sf_dir):
+    """Near-dup pairs from the winnowing fingerprint index."""
+    fps = winnow_fingerprints(spark, sf_dir).select("doc_id", "fp")
+    hot = (
+        fps.groupBy("fp").count()
+        .where(F.col("count") > WNW_MAX_POSTING)
+        .select("fp")
+    )
+    kept = tracked_cache(fps.join(F.broadcast(hot), "fp", "left_anti"))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        kept.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(kept.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= WNW_MIN_SHARED)
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("shared").cast("double") / (F.col("sa") + F.col("sb") - F.col("shared")), ROUND).alias("fp_jaccard"),
+        )
+    )
