@@ -247,3 +247,11 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("drop table if exists bkt_feats")
         spark.sql("drop table if exists bkt_meta")
+
+
+def test_winnow_pair_join_shape(plans):
+    """Candidate proposal must be a fingerprint equi-join with the hot
+    valve applied as a broadcast anti-join — never a cartesian pass."""
+    p = plans("winnow_near_dup_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # the hot-posting anti valve
