@@ -40,17 +40,22 @@ def _sample_priority() -> dict[str, int]:
     """Registry order is the driver's sampling order, and the driver's
     correctness gate samples a PREFIX of it (~50 of the registry per
     round).  Order queries by how stale their committed evidence is:
-    never-sampled first (they need their first hard-gate row), then
-    oldest-round-sampled, newest last — derived from the committed
-    CORRECTNESS_r{N}.json artifacts so the rotation maintains itself as
-    rounds accumulate.  Ties keep registration order."""
+    sampled-but-never-GREEN first (they were gated once and failed or
+    had no oracle yet — they most urgently need a green row), then
+    never-sampled, then oldest-green-round, newest-green last — derived
+    from the committed CORRECTNESS_r{N}.json artifacts so the rotation
+    maintains itself as rounds accumulate.  Ties keep registration
+    order.  A row counts as green only when rows/schema/hash all match
+    and err is null (rows-only queries without an oracle_sql entry count
+    rows_match + no err)."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, int] = {}
+    latest_green: dict[str, int] = {}
+    sampled: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -61,9 +66,20 @@ def _sample_priority() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, json.JSONDecodeError):  # pragma: no cover
             continue
-        for name in rows:
-            latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+        for name, row in rows.items():
+            sampled.add(name)
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            green = bool(row.get("rows_match")) and (
+                row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    prio = dict(latest_green)
+    for name in sampled - set(latest_green):
+        prio[name] = -2  # sampled, never green: ahead of everything
+    return prio
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
