@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..cachectl import tracked_cache
+from ..valvemetrics import drop_hot_keys
 from .registry import ROUND, query, table
 
 SUB_W = 10  # duplicated-substring window width (tokens)
@@ -302,13 +303,17 @@ def winnow_fingerprints(spark, sf_dir):
 # equi-join on the selected fingerprints proposes pairs, the shared count
 # scores them.  By the winnowing guarantee, any pair sharing a token run
 # of length >= WNW_K + WNW_W - 1 collides on at least one fingerprint, so
-# recall over "share >= MIN_SHARED windows of common text" is structural,
-# not probabilistic.  Hot fingerprints (boilerplate grams selected by
-# > WNW_MAX_POSTING docs) are dropped from BOTH sides before the join —
-# the standard posting-list cap that bounds the self-join fan-out: at web
-# scale candidate volume is sum(posting^2) and the cap makes every term's
-# contribution O(cap^2).  One fp-keyed shuffle for the join, one hash agg
-# per pair; the shared CTE text keeps Spark and DuckDB in lock-step.
+# recall over "share >= MIN_SHARED windows of common text" is structural
+# — FOR FINGERPRINTS UNDER THE POSTING CAP.  Hot fingerprints
+# (boilerplate grams selected by > WNW_MAX_POSTING docs) are dropped from
+# BOTH sides before the join, so a pair whose every shared fingerprint is
+# boilerplate-hot IS missed; the drop is therefore recorded + logged per
+# run (valvemetrics "winnow_hot_posting": rows, keys, fraction) instead
+# of being silent.  The cap is the standard posting-list bound on the
+# self-join fan-out: at web scale candidate volume is sum(posting^2) and
+# the cap makes every term's contribution O(cap^2).  One fp-keyed shuffle
+# for the join, one hash agg per pair; the shared CTE text keeps Spark
+# and DuckDB in lock-step.
 WNW_MAX_POSTING = 50
 WNW_MIN_SHARED = 10
 
@@ -350,12 +355,10 @@ _SQL_WNW_FPS = f"""
 def winnow_near_dup_pairs(spark, sf_dir):
     """Near-dup pairs from the winnowing fingerprint index."""
     fps = winnow_fingerprints(spark, sf_dir).select("doc_id", "fp")
-    hot = (
-        fps.groupBy("fp").count()
-        .where(F.col("count") > WNW_MAX_POSTING)
-        .select("fp")
-    )
-    kept = tracked_cache(fps.join(F.broadcast(hot), "fp", "left_anti"))
+    # observable hot-posting valve (valvemetrics): dropped fingerprint
+    # rows/keys are recorded + logged, since dropping them is exactly
+    # where the structural recall guarantee gives way to the cap.
+    kept = tracked_cache(drop_hot_keys(fps, ["fp"], WNW_MAX_POSTING, "winnow_hot_posting"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         kept.select(F.col("doc_id").alias("doc_a"), "fp")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..cachectl import tracked_cache
+from ..valvemetrics import drop_hot_keys
 from .registry import ROUND, query, table
 
 MH_HASHES = 8
@@ -364,11 +365,10 @@ def embedding_near_dups(spark, sf_dir):
         "norm", F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda s, v: s + v * v))
     )
     # the valve: block sizes are a tiny aggregate; the oversized list is
-    # broadcast and anti-joined before any pair is formed.
-    oversized = (
-        ed.groupBy("lbl").count().where(F.col("count") > NEARDUP_MAX_BLOCK).select("lbl")
-    )
-    ed = ed.join(F.broadcast(oversized), "lbl", "left_anti")
+    # broadcast and anti-joined before any pair is formed — and the
+    # dropped rows/keys are recorded + logged (valvemetrics) so the
+    # recall cost of the cap is visible.
+    ed = drop_hot_keys(ed, ["lbl"], NEARDUP_MAX_BLOCK, "embedding_near_dups_block")
     x = ed.select("lbl", F.col("vec_id").alias("a"), F.col("vec").alias("ea"), F.col("norm").alias("na"))
     y = ed.select("lbl", F.col("vec_id").alias("b"), F.col("vec").alias("eb"), F.col("norm").alias("nb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v)
@@ -467,14 +467,12 @@ def embedding_near_dups_lsh(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    oversized = (
-        bands.groupBy("band", "key").count()
-        .where(F.col("count") > NEARDUP_MAX_BLOCK)
-        .select("band", "key")
-    )
     # cached: the valved band table feeds BOTH legs of the candidate
-    # self-join (the scan + 16-way explode would otherwise run twice more).
-    bands = tracked_cache(bands.join(F.broadcast(oversized), ["band", "key"], "left_anti"))
+    # self-join (the scan + 16-way explode would otherwise run twice more);
+    # the oversized-bucket drop is recorded + logged (valvemetrics).
+    bands = tracked_cache(
+        drop_hot_keys(bands, ["band", "key"], NEARDUP_MAX_BLOCK, "embedding_near_dups_lsh_bucket")
+    )
     cand = (
         bands.select(F.col("vec_id").alias("a"), "band", "key")
         .join(bands.select(F.col("vec_id").alias("b"), "band", "key"), ["band", "key"])

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
 from .. import constants
+from ..valvemetrics import drop_hot_keys
 
 
 def _signature_udf():
@@ -79,9 +80,10 @@ def candidate_links(
     /root/reference/experiments/uaz_documents_comparison.py:237-238)."""
     bucketed = with_buckets(embedded)
 
-    sizes = bucketed.groupBy("bucket").count()
-    oversized = sizes.where(F.col("count") > max_bucket).select("bucket")
-    bucketed = bucketed.join(F.broadcast(oversized), "bucket", "left_anti")
+    # observable valve: oversized buckets are dropped, and the dropped
+    # row/key counts are recorded + logged (kgforge/valvemetrics.py) so
+    # the recall cost of the cap is never silent.
+    bucketed = drop_hot_keys(bucketed, ["bucket"], max_bucket, "link_candidate_bucket")
 
     left = bucketed.select(
         "bucket",
