@@ -35,6 +35,14 @@ Scale shapes (the reason these exist as bespoke plans, not naive joins):
   chain, and each step's input shrinks monotonically (users surviving
   step k-1).  No window over the full event stream is ever taken.
 
+Division semantics note (round-3 advisor item, checked and refuted):
+Spark's ``div`` truncates toward zero, and DuckDB's INTEGER ``//`` ALSO
+truncates toward zero (floor semantics apply only to its float ``//``):
+``select -1 // 604800000000`` = 0 in DuckDB 1.0, equal to ``-1 div
+604800000000`` in Spark.  So the bucket/day/week ids below agree between
+the engines for ALL inputs, including pre-1970 negative-epoch
+timestamps — pinned by test_div_truncation_agrees_with_duckdb.
+
 Timestamps are compared in integer MICROSECONDS (``unix_micros`` /
 ``epoch_us``) end-to-end: both engines do exact int64 arithmetic, so the
 driver's value hash is immune to float rounding on time deltas.  The

@@ -297,7 +297,20 @@ def _pack_argmin(dcol: str, idcol: str):
     decimals, so round(d * 10^ROUND) is its exact integer form (the inner
     round() clears the float dust of the multiply); ids must be < _PACK_M.
     min() over this long runs as a real HashAggregate with map-side
-    partial min — see assign() below for why struct/window lose."""
+    partial min — see assign() below for why struct/window lose.
+
+    Invariants (violations give a silently wrong argmin, so every call
+    site asserts its id bound — round-3 advisor ask):
+
+    - 0 <= id < _PACK_M  (callers assert k <= _PACK_M);
+    - |d| < ~9e14 so round(d * 10^ROUND) * _PACK_M stays inside int64
+      (Lloyd squared distances and [-1, 1] cosines are both far under);
+    - d pre-rounded to ROUND decimals (the packing is exact only then).
+
+    Negative d packs correctly: p = d_int * _PACK_M + id is the standard
+    mixed-radix encoding, order-isomorphic to (d_int, id) for ALL signed
+    d_int when 0 <= id < _PACK_M — decode with pmod(p, _PACK_M) (never
+    %, which keeps the dividend's sign)."""
     return F.round(F.col(dcol) * (10**ROUND), 0).cast("long") * _PACK_M + F.col(idcol)
 
 
@@ -308,6 +321,7 @@ def _lloyd(v, k: int = KM_K, iters: int = KM_ITERS):
     aggregations, centroids broadcast-scale.  Returns (final centroids,
     final assignment); float distances only feed the rounded, tie-broken
     argmin so the assignment cascade is engine-stable."""
+    assert k <= _PACK_M, f"cluster ids must fit a packed-argmin slot: {k} > {_PACK_M}"
     cent = v.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), "pos", F.col("x").alias("c")
     )
@@ -848,6 +862,7 @@ def ann_pq_topk(spark, sf_dir):
     """PQ two-phase top-k: per-subspace Lloyd codebooks (oracle-unrolled),
     ADC candidate ranking through a broadcast (qid, sub, cid) -> dot
     lookup table, exact cosine on the top-RERANK survivors only."""
+    assert PQ_K <= _PACK_M, "PQ codes must fit a packed-argmin slot"
     e = table(spark, sf_dir, "embeddings")
     v = tracked_cache(
         e.select("vec_id", F.posexplode(_dvec("embedding")).alias("pos", "x")).withColumn(

@@ -90,3 +90,23 @@ def test_asof_strictly_prior_semantics(spark):
     assert got[3] == (1, 10_000_000)  # same-ts click 2 excluded
     assert got[6] == (5, 5_000_000)  # tie -> max event_id
     assert got[7] == (None, None)
+
+
+def test_div_truncation_agrees_with_duckdb(spark):
+    """Round-3 advisor claimed Spark `div` (truncate toward zero) and
+    DuckDB `//` (allegedly floor) diverge on pre-1970 negative epochs.
+    Checked and refuted: DuckDB's INTEGER `//` also truncates toward
+    zero, so every bucket/day/week id in this module agrees between the
+    engines for ALL inputs.  This test pins that agreement on negatives,
+    zero, and exact multiples so an engine upgrade that changes either
+    semantics fails loudly."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.eventops import WEEK_US
+
+    vals = [-3 * WEEK_US - 5, -WEEK_US - 1, -WEEK_US, -1, 0, 1, WEEK_US - 1, WEEK_US, 3 * WEEK_US + 7]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.x: r.q for r in df.select("x", F.expr(f"x div {WEEK_US}").alias("q")).collect()}
+    want = {v: duckdb.sql(f"select cast({v} as bigint) // {WEEK_US}").fetchone()[0] for v in vals}
+    assert got == want
