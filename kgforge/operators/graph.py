@@ -78,6 +78,8 @@ def pagerank(
     iters: int = PR_ITERS,
     damping: float = DAMPING,
     checkpoint: bool = False,
+    partitioned: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed (src, dst) edge DataFrame.
 
@@ -88,21 +90,40 @@ def pagerank(
     symmetrize their edges, which makes every node a source.  An empty
     edge set returns an empty rank table rather than dividing by zero.
 
-    ``checkpoint=True`` localCheckpoints the rank vector each round —
-    truncating lineage so plan size is O(1) in iteration count (mandatory
-    at entity-graph scale; left False for the toy concept query whose
-    oracle unrolls the identical CTE chain).
+    ``checkpoint=True`` localCheckpoints the rank vector every
+    ``checkpoint_every`` rounds — truncating lineage so plan size stays
+    O(checkpoint_every) in iteration count (mandatory at entity-graph
+    scale; left False for the toy concept query whose oracle unrolls the
+    identical CTE chain).
+
+    ``partitioned=True`` selects the co-partitioned shuffle plan instead
+    of broadcasting the rank vector: ``w`` and ``nodes`` are hash-
+    partitioned ONCE on their per-round join keys and cached, the
+    per-round joins are hinted shuffle-hash, and only the V-row
+    rank/contribution tables move per round — through parallel
+    exchanges, not a driver-serialized broadcast build.  At 1M+ nodes
+    the per-round broadcast (collect V rows, build ONE hash table on the
+    driver, re-ship it) is a serial Amdahl term; exchanges parallelize
+    with cores.  Same arithmetic shape, same results — choose by |V|:
+    broadcast below ~10^5 nodes, partitioned above (measured in
+    bench/graph_scaling.py).
     """
     sym = tracked_cache(edges)  # feeds deg AND the join leg
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    w = tracked_cache(
-        sym.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
-    )
-    nodes = tracked_cache(
+    w = sym.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
+    nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if partitioned:
+        # one-time layout: both loop-invariant tables land hash-partitioned
+        # on their per-round join keys, so every round's joins reuse the
+        # cached partitioning and exchange only the rank-vector side
+        w = w.repartition("src")
+        nodes = nodes.repartition("node")
+    w = tracked_cache(w)
+    nodes = tracked_cache(nodes)
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("r"))
@@ -115,12 +136,15 @@ def pagerank(
     # of w was measured and REJECTED: with ranks broadcast it only adds
     # exchanges.  (If V outgrows the broadcast threshold, pre-partitioning
     # w by src becomes the right knob — AQE will flip the join to SMJ.)
-    for _ in range(iters):
+    for i in range(iters):
+        r = ranks.hint("shuffle_hash") if partitioned else ranks
         contrib = (
-            w.join(ranks, w["src"] == ranks["node"])
+            w.join(r, w["src"] == r["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("w") * F.col("r")).alias("contrib"))
         )
+        if partitioned:
+            contrib = contrib.hint("shuffle_hash")
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
@@ -128,7 +152,7 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("r"),
         )
-        if checkpoint:
+        if checkpoint and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
 

