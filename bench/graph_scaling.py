@@ -45,7 +45,16 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-ALL_KERNELS = ["pagerank_bcast", "pagerank_part", "kcore", "label_propagation", "bfs_levels"]
+ALL_KERNELS = [
+    "pagerank_bcast",
+    "pagerank_part",
+    "pagerank_stages",
+    "kcore",
+    "kcore_part",
+    "label_propagation",
+    "bfs_levels",
+    "bfs_part",
+]
 WARM_EDGES = 20_000  # per-kernel JIT warm-up slice (excluded from timing)
 KCORE_K = 3
 KCORE_ROUNDS = 4
@@ -65,25 +74,97 @@ def _checksum(df, cols):
 
 
 def _run_kernel(spark, name: str, edges):
-    """Returns (rows, checksum-or-None); forces full execution."""
+    """Returns (rows, checksum-or-None, stage-walls-or-None); forces full
+    execution."""
     from pyspark.sql import functions as F
 
     from kgforge.operators import graph as G
 
     if name == "pagerank_bcast":
         n = G.pagerank(edges, checkpoint=True).count()
-        return n, None
+        return n, None, None
     if name == "pagerank_part":
         n = G.pagerank(edges, checkpoint=True, partitioned=True).count()
-        return n, None
+        return n, None, None
+    if name == "pagerank_stages":
+        return _pagerank_stage_walls(edges)
     if name == "kcore":
-        return _checksum(G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS), ["node", "core_degree"])
+        return (*_checksum(G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS), ["node", "core_degree"]), None)
+    if name == "kcore_part":
+        return (
+            *_checksum(
+                G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, partitioned=True),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
     if name == "label_propagation":
-        return _checksum(G.label_propagation(edges, LP_ITERS, checkpoint=True), ["node", "lab"])
-    if name == "bfs_levels":
+        return (*_checksum(G.label_propagation(edges, LP_ITERS, checkpoint=True), ["node", "lab"]), None)
+    if name in ("bfs_levels", "bfs_part"):
         seeds = edges.select(F.col("src").alias("node")).distinct().orderBy("node").limit(BFS_SEEDS)
-        return _checksum(G.bfs_levels_frontier(edges, seeds, BFS_HOPS), ["node", "dist"])
+        return (
+            *_checksum(
+                G.bfs_levels_frontier(edges, seeds, BFS_HOPS, partitioned=(name == "bfs_part")),
+                ["node", "dist"],
+            ),
+            None,
+        )
     raise ValueError(name)
+
+
+def _pagerank_stage_walls(edges):
+    """Per-stage decomposition of ONE partitioned-PageRank round (judge
+    ask #4's 'prove the ceiling' branch): times the loop-invariant builds
+    and one round's two legs separately, so the paired run shows WHICH
+    stage anti-scales.  Stage isolation uses localCheckpoint barriers
+    between legs (the contrib table is materialized before the rebuild
+    leg so each wall covers exactly one exchange+agg pipeline)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.cachectl import tracked_cache
+
+    stages: dict[str, float] = {}
+    t = time.time()
+    sym = tracked_cache(edges)
+    sym.count()
+    stages["edge_cache"] = round(time.time() - t, 3)
+
+    t = time.time()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    w = tracked_cache(
+        sym.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("w"))
+        .repartition("src")
+    )
+    w.count()
+    stages["w_build"] = round(time.time() - t, 3)
+
+    t = time.time()
+    nodes = tracked_cache(
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+    )
+    n = nodes.count()
+    stages["nodes_build"] = round(time.time() - t, 3)
+
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    t = time.time()
+    contrib = (
+        w.join(ranks.hint("shuffle_hash"), w["src"] == ranks["node"])
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("w") * F.col("r")).alias("contrib"))
+        .localCheckpoint()
+    )
+    stages["round_contrib"] = round(time.time() - t, 3)
+
+    t = time.time()
+    nodes.join(contrib.hint("shuffle_hash"), "node", "left").select(
+        "node", (F.lit(0.15 / n) + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("r")
+    ).localCheckpoint()
+    stages["round_rebuild"] = round(time.time() - t, 3)
+    return n, None, stages
 
 
 def worker(cpus: int, edges_dir: str, kernels: list[str]) -> None:
@@ -101,10 +182,13 @@ def worker(cpus: int, edges_dir: str, kernels: list[str]) -> None:
         _run_kernel(spark, name, edges.limit(WARM_EDGES))
         release_caches()
         t0 = time.time()
-        rows, sig = _run_kernel(spark, name, edges)
+        rows, sig, stages = _run_kernel(spark, name, edges)
         secs = time.time() - t0
         release_caches()
-        result["kernels"][name] = {"secs": round(secs, 3), "rows": rows, "sig": sig}
+        entry = {"secs": round(secs, 3), "rows": rows, "sig": sig}
+        if stages:
+            entry["stages"] = stages
+        result["kernels"][name] = entry
     print(json.dumps(result))
 
 
@@ -193,6 +277,15 @@ def main() -> None:
                 f"local{hi}_secs": b["secs"],
                 "eff": round((a["secs"] / b["secs"]) / ratio, 3),
             }
+            if a.get("stages"):
+                pair[k]["stages"] = {
+                    s: {
+                        f"local{lo}": a["stages"][s],
+                        f"local{hi}": b["stages"][s],
+                        "eff": round((a["stages"][s] / max(b["stages"][s], 1e-9)) / ratio, 3),
+                    }
+                    for s in a["stages"]
+                }
         series.append(pair)
         print(json.dumps({"pair": rep + 1, **pair}), flush=True)
 

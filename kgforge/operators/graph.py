@@ -407,10 +407,19 @@ def _sql_kcore_chain() -> str:
     return ",\n".join(parts)
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_peel(edges: DataFrame, k: int, rounds: int, partitioned: bool = False) -> DataFrame:
     """``rounds`` peels of degree-<k vertices over a SYMMETRIZED (src, dst)
-    edge DataFrame; returns the surviving (node, core_degree) table.  The
-    survivor set only shrinks, so each round's semi-joins broadcast it.
+    edge DataFrame; returns the surviving (node, core_degree) table.
+
+    ``partitioned=False`` broadcasts the survivor set into both per-round
+    semi-joins — right when survivors fit a broadcast (the toy concept
+    graph).  At entity scale the survivor set IS the node set (~1M rows):
+    building + shipping two ~40 MB broadcasts per round from the driver
+    is a serial Amdahl term — measured 0.41 paired scaling efficiency at
+    43.7M edges (bench/graph_scaling.py, round 4).  ``partitioned=True``
+    hints both semi-joins shuffle-hash instead: the survivor table moves
+    through parallel exchanges and the edge side, already hash-shuffled
+    on the same key by the degree agg, co-locates.
 
     Every round's edge set is localCheckpointed: ``edges`` is consumed
     TWICE per round (degree agg + semi-join) and feeds every later round,
@@ -426,11 +435,19 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .where(F.col("c") >= k)
             .select("src")
         )
-        edges = (
-            edges.join(F.broadcast(keep), "src", "left_semi")
-            .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi")
-            .localCheckpoint()
-        )
+        if partitioned:
+            keep = keep.hint("shuffle_hash")
+            edges = (
+                edges.join(keep, "src", "left_semi")
+                .join(keep.select(F.col("src").alias("dst")).hint("shuffle_hash"), "dst", "left_semi")
+                .localCheckpoint()
+            )
+        else:
+            edges = (
+                edges.join(F.broadcast(keep), "src", "left_semi")
+                .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi")
+                .localCheckpoint()
+            )
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
@@ -542,19 +559,32 @@ BFS_SEED_MAX = 3   # seeds: part ids <= 3 present in the graph
 BFS_MAX_HOPS = 3   # bounded exploration depth
 
 
-def bfs_levels_frontier(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+def bfs_levels_frontier(
+    edges: DataFrame, seeds: DataFrame, max_hops: int, partitioned: bool = False
+) -> DataFrame:
     """(node, dist) shortest hop distances from ``seeds`` over symmetrized
     ``edges(src, dst)``, exploring at most ``max_hops`` rounds.  Each
-    round's new frontier is checkpointed so the plan stays flat."""
+    round's new frontier is checkpointed so the plan stays flat.
+
+    ``partitioned=True`` hints the per-hop joins shuffle-hash: on an
+    expander-ish graph the frontier and the visited set reach ~|V| rows
+    within two hops, and broadcasting them per hop (what AQE picks while
+    they sit under the 64 MB threshold) serializes ~40 MB broadcast
+    builds on the driver — measured 0.37 paired scaling efficiency at
+    43.7M edges / 1M nodes (bench/graph_scaling.py, round 4).  Keep the
+    default broadcast path for genuinely small explorations (the sf-toy
+    oracle query); at entity scale a production caller would switch per
+    hop on the measured frontier size."""
     edges = tracked_cache(edges)
     dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint()
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
+        fr = frontier.hint("shuffle_hash") if partitioned else frontier
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            fr.join(edges, fr["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(dist.hint("shuffle_hash") if partitioned else dist, "node", "left_anti")
             .select("node", F.lit(hop).cast("long").alias("dist"))
             .localCheckpoint()
         )

@@ -153,3 +153,63 @@ def test_bfs_levels_frontier_multi_source_min(spark):
         for r in bfs_levels_frontier(edges, seeds, max_hops=3).collect()
     }
     assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def _random_sym_graph(spark, n_nodes=400, n_edges=2500, seed=13):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    rows = [
+        (f"e{rng.randrange(n_nodes)}", f"e{rng.randrange(n_nodes)}") for _ in range(n_edges)
+    ]
+    e = spark.createDataFrame([(a, b) for a, b in rows if a != b], "src string, dst string")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def test_partitioned_variants_match_broadcast_plans(spark):
+    """The scale variants (shuffle-hash joins instead of per-round
+    broadcast builds — pagerank partitioned mode, kcore_peel partitioned,
+    bfs partitioned) must be output-identical to the broadcast plans;
+    only the physical exchange strategy differs.  These are the plans the
+    1M-node scaling bench (bench/graph_scaling.py) runs."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.graph import bfs_levels_frontier, kcore_peel, pagerank
+
+    sym = _random_sym_graph(spark)
+    a = {r.node: round(r.r, 6) for r in pagerank(sym, checkpoint=True).collect()}
+    b = {
+        r.node: round(r.r, 6)
+        for r in pagerank(sym, checkpoint=True, partitioned=True, checkpoint_every=2).collect()
+    }
+    assert a == b
+    ka = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4).collect()}
+    kb = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4, partitioned=True).collect()}
+    assert ka == kb
+    seeds = sym.select(F.col("src").alias("node")).distinct().orderBy("node").limit(10)
+    xa = {(r.node, r.dist) for r in bfs_levels_frontier(sym, seeds, 3).collect()}
+    xb = {
+        (r.node, r.dist)
+        for r in bfs_levels_frontier(sym, seeds, 3, partitioned=True).collect()
+    }
+    assert xa == xb
+
+
+def test_pagerank_partitioned_has_no_per_round_rank_broadcast(spark):
+    """The partitioned plan's point: the rank vector moves through
+    shuffle-hash exchanges, never a per-round broadcast build.  The only
+    BroadcastExchange allowed in the full plan is the one-time degree
+    join inside the cached w build."""
+    sym = _random_sym_graph(spark, seed=14)
+    plan = (
+        pagerank(sym, partitioned=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastExchange") <= 1

@@ -240,3 +240,20 @@ def test_winnowing_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared run must yield a shared fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_sq8_candidate_impls_identical(spark):
+    """The two SQ8 phase-1 integer-dot implementations (interpreted HOF
+    vs posexplode join-on-pos hash agg) must produce the identical
+    per-query candidate set — they share the quantizer and the top-RERANK
+    window; only the dot's physical form differs (the Q>=64 timing
+    comparison lives in bench/sq8_dot_bench.py / BASELINE.md)."""
+    from kgforge.operators.similarity import _sq8_candidates
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    hof = {(r.qid, r.vec_id) for r in _sq8_candidates(e, n_queries=8, impl="hof").collect()}
+    pos = {
+        (r.qid, r.vec_id)
+        for r in _sq8_candidates(e, n_queries=8, impl="posexplode").collect()
+    }
+    assert hof and hof == pos
