@@ -48,9 +48,11 @@ if _REPO_ROOT not in sys.path:
 ALL_KERNELS = [
     "pagerank_bcast",
     "pagerank_part",
+    "pagerank_part_ck3",
     "pagerank_stages",
     "kcore",
     "kcore_part",
+    "kcore_part_ck2",
     "label_propagation",
     "bfs_levels",
     "bfs_part",
@@ -86,6 +88,14 @@ def _run_kernel(spark, name: str, edges):
     if name == "pagerank_part":
         n = G.pagerank(edges, checkpoint=True, partitioned=True).count()
         return n, None, None
+    if name == "pagerank_part_ck3":
+        # single lineage truncation at the end instead of one eager
+        # driver-action barrier per round (judge ask #4: "fewer/larger
+        # rounds per checkpoint")
+        n = G.pagerank(
+            edges, checkpoint=True, partitioned=True, checkpoint_every=G.PR_ITERS
+        ).count()
+        return n, None, None
     if name == "pagerank_stages":
         return _pagerank_stage_walls(edges)
     if name == "kcore":
@@ -94,6 +104,14 @@ def _run_kernel(spark, name: str, edges):
         return (
             *_checksum(
                 G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, partitioned=True),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
+    if name == "kcore_part_ck2":
+        return (
+            *_checksum(
+                G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, partitioned=True, checkpoint_every=2),
                 ["node", "core_degree"],
             ),
             None,

@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpus", default="8")
+    ap.add_argument(
+        "--multiply", type=int, default=1,
+        help="union M id-shifted copies of the corpus to stress N (the "
+        "2000-vector sf0.1 table is too small to separate the impls)",
+    )
     args = ap.parse_args()
 
     from kgforge.cachectl import release_caches
@@ -39,6 +44,18 @@ def main() -> None:
 
     spark = build_session("sq8-dot-bench", master=f"local[{args.cpus}]")
     e = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+    if args.multiply > 1:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        base = e.count()
+        copies = [
+            e.select((F.col("vec_id") + i * base).alias("vec_id"), "embedding", "label")
+            for i in range(args.multiply)
+        ]
+        e = reduce(lambda a, b: a.unionByName(b), copies)
+        e = e.repartition(int(args.cpus) * 3).cache()
     e.count()
 
     outs = {}

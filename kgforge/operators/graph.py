@@ -407,7 +407,13 @@ def _sql_kcore_chain() -> str:
     return ",\n".join(parts)
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int, partitioned: bool = False) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    partitioned: bool = False,
+    checkpoint_every: int = 1,
+) -> DataFrame:
     """``rounds`` peels of degree-<k vertices over a SYMMETRIZED (src, dst)
     edge DataFrame; returns the surviving (node, core_degree) table.
 
@@ -419,16 +425,26 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int, partitioned: bool = False)
     43.7M edges (bench/graph_scaling.py, round 4).  ``partitioned=True``
     hints both semi-joins shuffle-hash instead: the survivor table moves
     through parallel exchanges and the edge side, already hash-shuffled
-    on the same key by the degree agg, co-locates.
+    on the same key by the degree agg, co-locates.  The initial edge set
+    is laid out hash(src) so round 1's degree agg and src semi-join
+    reuse it without an E-row exchange (localCheckpoint preserves the
+    physical partitioning, so the layout survives the truncation).
 
-    Every round's edge set is localCheckpointed: ``edges`` is consumed
-    TWICE per round (degree agg + semi-join) and feeds every later round,
-    so without truncation round r re-derives the whole upstream plan
-    ~2^r times — measured 101 s -> ~2 s at sf0.1 on the concept graph
-    (whose edge derivation is the doc-pair self-join), and a lineage
-    bomb at entity scale regardless."""
+    Lineage control: ``edges`` is consumed TWICE per round (degree agg +
+    semi-join) and feeds every later round, so without truncation round
+    r re-derives the whole upstream plan ~2^r times — measured
+    101 s -> ~2 s at sf0.1 on the concept graph (whose edge derivation
+    is the doc-pair self-join), and a lineage bomb at entity scale
+    regardless.  Each eager localCheckpoint is also a per-round DRIVER
+    action (a serial barrier the paired-scaling runs can see), so
+    ``checkpoint_every=j`` truncates only every j-th round and caches
+    the rounds between (a lazy cache dedups the double consumption
+    without a driver round-trip; plan size stays O(2^j), fine for the
+    small j a fixed-round peel uses)."""
+    if partitioned:
+        edges = edges.repartition("src")
     edges = edges.localCheckpoint()
-    for _ in range(rounds):
+    for i in range(rounds):
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -437,17 +453,17 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int, partitioned: bool = False)
         )
         if partitioned:
             keep = keep.hint("shuffle_hash")
-            edges = (
-                edges.join(keep, "src", "left_semi")
-                .join(keep.select(F.col("src").alias("dst")).hint("shuffle_hash"), "dst", "left_semi")
-                .localCheckpoint()
+            edges = edges.join(keep, "src", "left_semi").join(
+                keep.select(F.col("src").alias("dst")).hint("shuffle_hash"), "dst", "left_semi"
             )
         else:
-            edges = (
-                edges.join(F.broadcast(keep), "src", "left_semi")
-                .join(F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi")
-                .localCheckpoint()
+            edges = edges.join(F.broadcast(keep), "src", "left_semi").join(
+                F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi"
             )
+        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+            edges = edges.localCheckpoint()
+        else:
+            edges = tracked_cache(edges)
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
@@ -571,11 +587,15 @@ def bfs_levels_frontier(
     within two hops, and broadcasting them per hop (what AQE picks while
     they sit under the 64 MB threshold) serializes ~40 MB broadcast
     builds on the driver — measured 0.37 paired scaling efficiency at
-    43.7M edges / 1M nodes (bench/graph_scaling.py, round 4).  Keep the
-    default broadcast path for genuinely small explorations (the sf-toy
-    oracle query); at entity scale a production caller would switch per
-    hop on the measured frontier size."""
-    edges = tracked_cache(edges)
+    43.7M edges / 1M nodes (bench/graph_scaling.py, round 4).  The edge
+    table is additionally hash-partitioned on ``src`` ONCE before
+    caching, so every hop's expansion join reuses the cached layout and
+    exchanges only the frontier (~V rows), never the E-row edge side —
+    without this the shuffle-hash hint re-exchanges all E edges per hop.
+    Keep the default broadcast path for genuinely small explorations
+    (the sf-toy oracle query); at entity scale a production caller would
+    switch per hop on the measured frontier size."""
+    edges = tracked_cache(edges.repartition("src") if partitioned else edges)
     dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint()
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):

@@ -567,7 +567,7 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 RERANK = 50  # candidates per query that reach the exact-rescore phase
 
 
-def _sq8_candidates(e, n_queries: int = N_QUERIES, rerank: int = RERANK, impl: str = "hof"):
+def _sq8_candidates(e, n_queries: int = N_QUERIES, rerank: int = RERANK, impl: str = "auto"):
     """SQ8 phase 1: per-query top-``rerank`` candidates by code-space
     cosine.  Two integer-dot implementations behind the same contract
     (round-3 judge ask #9 — the HOF dot is CodegenFallback, interpreted
@@ -581,11 +581,16 @@ def _sq8_candidates(e, n_queries: int = N_QUERIES, rerank: int = RERANK, impl: s
       whole-stage-codegen, no HOF anywhere; the cost is materializing
       N*D*Q join rows through a partial-agg pipeline.
 
-    Measured head-to-head at Q=64, sf0.1 (2000x64 dims, local[8], warm
-    min-of-3, bench/sq8_dot_bench.py): see BASELINE.md round-4 notes —
-    the winner is the default here.  Both paths share the quantizer and
-    the top-RERANK window, and are output-identical (asserted in
-    test_trainprep.py)."""
+    Measured head-to-head (64-dim codes, local[8], warm min-of-3,
+    bench/sq8_dot_bench.py, round 4): at N=50k corpus vectors the HOF dot
+    wins small batches (Q=5: 1.45 s vs 1.88 s — the join fan-out's row
+    materialization costs more than 5 interpreted dots per vector) and
+    the posexplode dot wins large ones (Q=64: 6.93 s vs 9.14 s, 1.32x —
+    interpretation now dominates).  ``impl="auto"`` picks by batch size
+    with the crossover between those measured points; both paths share
+    the quantizer and the top-RERANK window, and are output-identical
+    (asserted in test_trainprep.py).  The PQ ADC candidate phase is the
+    same shape and would take the same posexplode rewrite at large Q."""
     v = e.select("vec_id", F.posexplode(_dvec("embedding")).alias("pos", "x"))
     sc = v.agg((F.lit(127.0) / F.max(F.abs(F.col("x")))).alias("g"))
     coded = tracked_cache(
@@ -598,6 +603,8 @@ def _sq8_candidates(e, n_queries: int = N_QUERIES, rerank: int = RERANK, impl: s
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("ascore"), F.asc("vec_id"))
     ascore = F.col("adot") / F.sqrt((F.col("qsq") * F.col("csq")).cast("double"))
+    if impl == "auto":
+        impl = "posexplode" if n_queries >= 16 else "hof"
     if impl == "hof":
         csq = F.aggregate(F.col("code"), F.lit(0).cast("long"), lambda s, c: s + c * c)
         normed = coded.select("vec_id", "code", csq.alias("csq"))

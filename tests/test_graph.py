@@ -190,6 +190,11 @@ def test_partitioned_variants_match_broadcast_plans(spark):
     ka = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4).collect()}
     kb = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4, partitioned=True).collect()}
     assert ka == kb
+    kc = {
+        (r.node, r.core_degree)
+        for r in kcore_peel(sym, 3, 4, partitioned=True, checkpoint_every=2).collect()
+    }
+    assert ka == kc
     seeds = sym.select(F.col("src").alias("node")).distinct().orderBy("node").limit(10)
     xa = {(r.node, r.dist) for r in bfs_levels_frontier(sym, seeds, 3).collect()}
     xb = {
