@@ -589,8 +589,10 @@ def _sq8_candidates(e, n_queries: int = N_QUERIES, rerank: int = RERANK, impl: s
     interpretation now dominates).  ``impl="auto"`` picks by batch size
     with the crossover between those measured points; both paths share
     the quantizer and the top-RERANK window, and are output-identical
-    (asserted in test_trainprep.py).  The PQ ADC candidate phase is the
-    same shape and would take the same posexplode rewrite at large Q."""
+    (asserted in test_trainprep.py).  (ann_pq_topk's ADC candidate phase
+    is ALREADY the join/hash-agg shape — its adot is a broadcast-LUT
+    equi-join over (vec_id, sub, code) rows; the only HOF there is the
+    exact cosine over the Q x RERANK survivors.)"""
     v = e.select("vec_id", F.posexplode(_dvec("embedding")).alias("pos", "x"))
     sc = v.agg((F.lit(127.0) / F.max(F.abs(F.col("x")))).alias("g"))
     coded = tracked_cache(
