@@ -53,6 +53,8 @@ ALL_KERNELS = [
     "kcore",
     "kcore_part",
     "kcore_part_ck2",
+    "kcore_anti",
+    "kcore_anti_ck2",
     "label_propagation",
     "bfs_levels",
     "bfs_part",
@@ -112,6 +114,24 @@ def _run_kernel(spark, name: str, edges):
         return (
             *_checksum(
                 G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, partitioned=True, checkpoint_every=2),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
+    if name == "kcore_anti":
+        # zero-exchange peel: per-round REMOVED-set broadcast anti-joins,
+        # edges stay hash(src)-partitioned for the whole peel
+        return (
+            *_checksum(
+                G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, anti=True),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
+    if name == "kcore_anti_ck2":
+        return (
+            *_checksum(
+                G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, anti=True, checkpoint_every=2),
                 ["node", "core_degree"],
             ),
             None,

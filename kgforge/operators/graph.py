@@ -34,6 +34,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cachectl import tracked_cache
+
+
+def _pinned_checkpoint(df: "DataFrame") -> "DataFrame":
+    """``localCheckpoint`` that actually PRESERVES the hash layout.
+
+    Under AQE, ``Dataset.localCheckpoint`` captures the
+    ``AdaptiveSparkPlan``'s outputPartitioning — which is *unknown*
+    before the final plan is installed — so the resulting LogicalRDD
+    forgets it is hash-partitioned and every downstream agg/co-located
+    join re-exchanges the full table (measured round 4: a groupBy over
+    a ``repartition("src").localCheckpoint()`` table re-planned an
+    E-row ``Exchange hashpartitioning``; the identical checkpoint built
+    with AQE off planned ZERO exchanges, pinned by
+    tests/test_graph.py).  Building just the checkpoint with AQE
+    momentarily disabled keeps the iterative kernels' layout-reuse
+    contract; AQE stays on for everything else.  The disabled window
+    also stops AQE from coalescing the checkpoint's partitions, which
+    would otherwise change the partition count between rounds and break
+    round-to-round co-partitioning."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 from .kgdocs import SQL_DOC_PAIRS, _doc_mentions, _doc_pairs
 from .registry import ROUND, query
 
@@ -413,6 +439,7 @@ def kcore_peel(
     rounds: int,
     partitioned: bool = False,
     checkpoint_every: int = 1,
+    anti: bool = False,
 ) -> DataFrame:
     """``rounds`` peels of degree-<k vertices over a SYMMETRIZED (src, dst)
     edge DataFrame; returns the surviving (node, core_degree) table.
@@ -427,8 +454,9 @@ def kcore_peel(
     through parallel exchanges and the edge side, already hash-shuffled
     on the same key by the degree agg, co-locates.  The initial edge set
     is laid out hash(src) so round 1's degree agg and src semi-join
-    reuse it without an E-row exchange (localCheckpoint preserves the
-    physical partitioning, so the layout survives the truncation).
+    reuse it without an E-row exchange (the checkpoint is built via
+    ``_pinned_checkpoint`` — a plain localCheckpoint under AQE FORGETS
+    the hash layout and re-exchanges, measured round 4).
 
     Lineage control: ``edges`` is consumed TWICE per round (degree agg +
     semi-join) and feeds every later round, so without truncation round
@@ -440,11 +468,53 @@ def kcore_peel(
     ``checkpoint_every=j`` truncates only every j-th round and caches
     the rounds between (a lazy cache dedups the double consumption
     without a driver round-trip; plan size stays O(2^j), fine for the
-    small j a fixed-round peel uses)."""
-    if partitioned:
+    small j a fixed-round peel uses).
+
+    ``anti=True`` is the zero-exchange formulation (round-4, after the
+    43.7M-edge paired run measured kcore_part at 0.41-0.56 efficiency):
+    instead of semi-joining the ~|V|-row SURVIVOR set into both edge
+    columns (the dst side re-exchanges every surviving edge by ``dst``,
+    and the next round's degree agg exchanges them straight back to
+    hash(src) — two E-row shuffles per round), broadcast the per-round
+    REMOVED set (``0 < deg < k`` among current srcs) into two
+    anti-joins.  On a symmetrized edge table every current node appears
+    as a src, so removed = current \\ keep and the anti-join is
+    set-identical to the keep semi-join (pinned by test).  Removed is
+    large only in round 1 of a power-law graph (the degree-1/2 fringe);
+    afterwards it is thousands of rows, so the per-round broadcast cost
+    that sank the keep-broadcast plan (two ~|V|-row builds EVERY round)
+    decays geometrically.  Both anti-joins are map-side, so the edge
+    table keeps its initial hash(src) layout for the whole peel: the
+    degree agg never exchanges, and per-round cost is one parallel
+    O(E/p) pass + one small broadcast.
+
+    Web-scale note: round 1's removed set is the only one that can
+    outgrow a broadcast (billions of nodes -> a degree-1/2 fringe of
+    hundreds of millions).  There, run round 1 with the
+    ``partitioned=True`` semi-join shape (pay the one dst exchange) and
+    switch to ``anti`` from round 2 on — the fringe shrinks
+    geometrically; at this harness's 1M-node graph the round-1 removed
+    set broadcasts fine, so the pure-anti path is what is measured."""
+    ckpt = _pinned_checkpoint if (partitioned or anti) else (lambda d: d.localCheckpoint())
+    if partitioned or anti:
         edges = edges.repartition("src")
-    edges = edges.localCheckpoint()
+    edges = ckpt(edges)
     for i in range(rounds):
+        if anti:
+            removed = (
+                edges.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") < k)
+                .select("src")
+            )
+            edges = edges.join(F.broadcast(removed), "src", "left_anti").join(
+                F.broadcast(removed.select(F.col("src").alias("dst"))), "dst", "left_anti"
+            )
+            if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+                edges = ckpt(edges)
+            else:
+                edges = tracked_cache(edges)
+            continue
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -461,7 +531,7 @@ def kcore_peel(
                 F.broadcast(keep.select(F.col("src").alias("dst"))), "dst", "left_semi"
             )
         if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
-            edges = edges.localCheckpoint()
+            edges = ckpt(edges)
         else:
             edges = tracked_cache(edges)
     return edges.groupBy(F.col("src").alias("node")).agg(

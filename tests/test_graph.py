@@ -204,6 +204,46 @@ def test_partitioned_variants_match_broadcast_plans(spark):
     assert xa == xb
 
 
+def test_kcore_anti_matches_and_round_is_exchange_free(spark):
+    """anti=True peels by broadcasting the per-round REMOVED set into two
+    anti-joins.  On a symmetrized graph removed = current-srcs \\ keep, so
+    the output must be set-identical to the keep semi-join plans; and a
+    peel round over hash(src)-laid-out edges must plan with ZERO shuffle
+    exchanges (both prunes map-side broadcast anti-joins, the degree agg
+    reusing the layout) — that is the whole point of the variant."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.graph import _pinned_checkpoint, kcore_peel
+
+    sym = _random_sym_graph(spark, seed=7)
+    ka = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4).collect()}
+    kd = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4, anti=True).collect()}
+    assert ka == kd
+    kd2 = {
+        (r.node, r.core_degree)
+        for r in kcore_peel(sym, 3, 4, anti=True, checkpoint_every=2).collect()
+    }
+    assert ka == kd2
+
+    # _pinned_checkpoint is load-bearing: a PLAIN localCheckpoint under
+    # AQE forgets the hash layout (AdaptiveSparkPlan's outputPartitioning
+    # is unknown pre-final), and this very plan re-exchanges — measured.
+    laid = _pinned_checkpoint(sym.repartition("src"))
+    removed = (
+        laid.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") < 3)
+        .select("src")
+    )
+    one_round = laid.join(F.broadcast(removed), "src", "left_anti").join(
+        F.broadcast(removed.select(F.col("src").alias("dst"))), "dst", "left_anti"
+    )
+    plan = one_round._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_pagerank_partitioned_has_no_per_round_rank_broadcast(spark):
     """The partitioned plan's point: the rank vector moves through
     shuffle-hash exchanges, never a per-round broadcast build.  The only
