@@ -179,7 +179,12 @@ def pagerank(
             ).alias("r"),
         )
         if checkpoint and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            # partitioned mode: the rank vector leaves the round hash(node)-
+            # partitioned (the nodes-side join layout), which is exactly the
+            # next round's join distribution — pin it through the checkpoint
+            # (a plain localCheckpoint under AQE forgets it and re-exchanges
+            # V rows every round; see _pinned_checkpoint)
+            ranks = _pinned_checkpoint(ranks) if partitioned else ranks.localCheckpoint()
     return ranks
 
 
@@ -606,7 +611,10 @@ def label_propagation(edges: DataFrame, iters: int, checkpoint: bool = False) ->
             .agg(F.min("lab").alias("lab"))
         )
         if checkpoint:
-            labels = labels.localCheckpoint()
+            # labels leave the round hash(node)-partitioned (the final
+            # groupBy layout) — exactly the next round's join/window
+            # distribution; pin it through the truncation
+            labels = _pinned_checkpoint(labels)
     return labels
 
 
@@ -676,8 +684,11 @@ def bfs_levels_frontier(
             .distinct()
             .join(dist.hint("shuffle_hash") if partitioned else dist, "node", "left_anti")
             .select("node", F.lit(hop).cast("long").alias("dist"))
-            .localCheckpoint()
         )
+        # partitioned mode: nxt leaves the hop hash(node)-partitioned (the
+        # distinct's layout), which the next hop's expansion join and the
+        # anti-join both want — pin it through the truncation
+        nxt = _pinned_checkpoint(nxt) if partitioned else nxt.localCheckpoint()
         dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist
