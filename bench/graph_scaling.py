@@ -55,6 +55,7 @@ ALL_KERNELS = [
     "kcore_part_ck2",
     "kcore_anti",
     "kcore_anti_ck2",
+    "kcore_cum",
     "label_propagation",
     "bfs_levels",
     "bfs_part",
@@ -132,6 +133,18 @@ def _run_kernel(spark, name: str, edges):
         return (
             *_checksum(
                 G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, anti=True, checkpoint_every=2),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
+    if name == "kcore_cum":
+        # constant-depth peel: base table checkpointed ONCE, per-round
+        # broadcast of the cumulative removed set — nothing E-sized is
+        # ever rewritten (the anti/part variants rebuild ~E rows per
+        # checkpoint, the measured wall)
+        return (
+            *_checksum(
+                G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, cumulative=True),
                 ["node", "core_degree"],
             ),
             None,

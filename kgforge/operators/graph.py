@@ -445,6 +445,7 @@ def kcore_peel(
     partitioned: bool = False,
     checkpoint_every: int = 1,
     anti: bool = False,
+    cumulative: bool = False,
 ) -> DataFrame:
     """``rounds`` peels of degree-<k vertices over a SYMMETRIZED (src, dst)
     edge DataFrame; returns the surviving (node, core_degree) table.
@@ -499,7 +500,47 @@ def kcore_peel(
     ``partitioned=True`` semi-join shape (pay the one dst exchange) and
     switch to ``anti`` from round 2 on — the fringe shrinks
     geometrically; at this harness's 1M-node graph the round-1 removed
-    set broadcasts fine, so the pure-anti path is what is measured."""
+    set broadcasts fine, so the pure-anti path is what is measured.
+
+    ``cumulative=True`` (round-4, after the paired run measured even the
+    anti peel at 0.30-0.71 efficiency) removes the remaining wall: the
+    anti peel still REBUILDS the ~E-row edge table every
+    ``checkpoint_every`` rounds (a full-table materialization whose
+    write bandwidth both parallelism levels contend for, plus a
+    per-round driver barrier).  Cumulative mode never rebuilds the edge
+    table at all.  The base table is laid out hash(src) and
+    checkpointed ONCE; each round anti-joins the base against the
+    broadcast UNION of every prior round's removed set, so the physical
+    plan has CONSTANT depth (base scan + two map-side broadcast
+    anti-joins + zero-exchange degree agg) no matter the round index.
+    The only per-round materialization is the new removed set itself —
+    thousands of rows after round 1 — and the peel exits early at the
+    fixpoint (no new removals), which the fixed-round oracle chain is
+    insensitive to by construction.  Per-round cost: one parallel
+    O(E/p) in-memory scan; nothing E-sized is ever written."""
+    if cumulative:
+        base = _pinned_checkpoint(edges.repartition("src"))
+        removed_parts: list[DataFrame] = []
+        cur = base
+        for _ in range(rounds):
+            new_removed = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") < k)
+                .select("src")
+            ).localCheckpoint()
+            if not new_removed.head(1):
+                break  # fixpoint: later rounds remove nothing
+            removed_parts.append(new_removed)
+            rm = removed_parts[0]
+            for p in removed_parts[1:]:
+                rm = rm.unionAll(p)
+            cur = base.join(F.broadcast(rm), "src", "left_anti").join(
+                F.broadcast(rm.select(F.col("src").alias("dst"))), "dst", "left_anti"
+            )
+        return cur.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
     ckpt = _pinned_checkpoint if (partitioned or anti) else (lambda d: d.localCheckpoint())
     if partitioned or anti:
         edges = edges.repartition("src")

@@ -224,6 +224,15 @@ def test_kcore_anti_matches_and_round_is_exchange_free(spark):
         for r in kcore_peel(sym, 3, 4, anti=True, checkpoint_every=2).collect()
     }
     assert ka == kd2
+    # cumulative mode: base checkpointed once, per-round broadcast of the
+    # UNION of all removed sets, constant plan depth, fixpoint early-exit
+    kcum = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4, cumulative=True).collect()}
+    assert ka == kcum
+    # fixpoint early-exit must not change the answer vs a huge round budget
+    kcum_many = {
+        (r.node, r.core_degree) for r in kcore_peel(sym, 3, 50, cumulative=True).collect()
+    }
+    assert {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 50).collect()} == kcum_many
 
     # _pinned_checkpoint is load-bearing: a PLAIN localCheckpoint under
     # AQE forgets the hash layout (AdaptiveSparkPlan's outputPartitioning
