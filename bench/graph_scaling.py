@@ -56,6 +56,9 @@ ALL_KERNELS = [
     "kcore_anti",
     "kcore_anti_ck2",
     "kcore_cum",
+    "kcore_cum_stages",
+    "kcore_cum_even",
+    "kcore_cum_p256",
     "label_propagation",
     "bfs_levels",
     "bfs_part",
@@ -101,6 +104,30 @@ def _run_kernel(spark, name: str, edges):
         return n, None, None
     if name == "pagerank_stages":
         return _pagerank_stage_walls(edges)
+    if name == "kcore_cum_stages":
+        return _kcore_cum_stage_walls(edges)
+    if name == "kcore_cum_even":
+        # round-robin base + partial-agg degree rounds: the balanced
+        # layout for the power-law hub skew (top hub = 1M of 43.6M edges)
+        return (
+            *_checksum(
+                G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, cumulative=True, layout="even"),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
+    if name == "kcore_cum_p256":
+        # hash(src) layout at 256 partitions: keeps the zero-exchange agg,
+        # dilutes the non-hub remainder of the skew
+        return (
+            *_checksum(
+                G.kcore_peel(
+                    edges, KCORE_K, KCORE_ROUNDS, cumulative=True, layout_partitions=256
+                ),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
     if name == "kcore":
         return (*_checksum(G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS), ["node", "core_degree"]), None)
     if name == "kcore_part":
@@ -215,6 +242,53 @@ def _pagerank_stage_walls(edges):
         "node", (F.lit(0.15 / n) + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("r")
     ).localCheckpoint()
     stages["round_rebuild"] = round(time.time() - t, 3)
+    return n, None, stages
+
+
+def _kcore_cum_stage_walls(edges):
+    """Per-stage decomposition of the CUMULATIVE k-core peel (mirrors
+    kgforge.operators.graph.kcore_peel(cumulative=True) with a timer per
+    leg): the one-time E-row base layout, then each round's degree-agg
+    pass (which also pays the prior rounds' broadcast builds and
+    anti-join scans, since the plan is constant-depth base+filters), and
+    the final survivor agg.  Removed-set sizes are recorded so the
+    paired artifact shows the geometric fringe decay that motivates the
+    broadcast."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.graph import _pinned_checkpoint
+
+    stages: dict[str, float] = {}
+    t = time.time()
+    base = _pinned_checkpoint(edges.repartition("src"))
+    stages["base_layout"] = round(time.time() - t, 3)
+
+    removed_parts = []
+    cur = base
+    for i in range(KCORE_ROUNDS):
+        t = time.time()
+        new_removed = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") < KCORE_K)
+            .select("src")
+        ).localCheckpoint()
+        n_removed = new_removed.count()
+        stages[f"round{i + 1}_agg_plus_ckpt"] = round(time.time() - t, 3)
+        stages[f"round{i + 1}_removed_rows"] = n_removed
+        if n_removed == 0:
+            break
+        removed_parts.append(new_removed)
+        rm = removed_parts[0]
+        for p in removed_parts[1:]:
+            rm = rm.unionAll(p)
+        cur = base.join(F.broadcast(rm), "src", "left_anti").join(
+            F.broadcast(rm.select(F.col("src").alias("dst"))), "dst", "left_anti"
+        )
+    t = time.time()
+    out = cur.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("core_degree"))
+    n = out.count()
+    stages["final_agg"] = round(time.time() - t, 3)
     return n, None, stages
 
 

@@ -228,6 +228,18 @@ def test_kcore_anti_matches_and_round_is_exchange_free(spark):
     # UNION of all removed sets, constant plan depth, fixpoint early-exit
     kcum = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4, cumulative=True).collect()}
     assert ka == kcum
+    # layout variants are physical-only: even round-robin base (partial-agg
+    # degree rounds) and wider hash layout must not change the answer
+    keven = {
+        (r.node, r.core_degree)
+        for r in kcore_peel(sym, 3, 4, cumulative=True, layout="even").collect()
+    }
+    assert ka == keven
+    kp = {
+        (r.node, r.core_degree)
+        for r in kcore_peel(sym, 3, 4, cumulative=True, layout_partitions=16).collect()
+    }
+    assert ka == kp
     # fixpoint early-exit must not change the answer vs a huge round budget
     kcum_many = {
         (r.node, r.core_degree) for r in kcore_peel(sym, 3, 50, cumulative=True).collect()
