@@ -59,6 +59,8 @@ ALL_KERNELS = [
     "kcore_cum_stages",
     "kcore_cum_even",
     "kcore_cum_p256",
+    "kcore_cum_salt4",
+    "kcore_cum_salt8",
     "label_propagation",
     "bfs_levels",
     "bfs_part",
@@ -112,6 +114,19 @@ def _run_kernel(spark, name: str, edges):
         return (
             *_checksum(
                 G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, cumulative=True, layout="even"),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
+    if name.startswith("kcore_cum_salt"):
+        # salted layout: hub edges spread over s partitions, degree agg
+        # pays a bounded sum(min(deg,s))-row partial exchange per round
+        s = int(name.rsplit("salt", 1)[1])
+        return (
+            *_checksum(
+                G.kcore_peel(
+                    edges, KCORE_K, KCORE_ROUNDS, cumulative=True, layout=f"salted:{s}"
+                ),
                 ["node", "core_degree"],
             ),
             None,

@@ -541,6 +541,18 @@ def kcore_peel(
         if layout == "even":
             n_even = layout_partitions or edges.sparkSession.sparkContext.defaultParallelism * 4
             base = edges.repartition(n_even).localCheckpoint()
+        elif layout.startswith("salted"):
+            # salt the layout key with hash(dst)%s: a hub's edges spread
+            # over at most s partitions (no straggler), while the degree
+            # agg's partial-exchange volume stays bounded by
+            # sum(min(deg, s)) rows — the middle ground between the
+            # zero-exchange-but-skewed hash layout and the
+            # balanced-but-E/2-exchange even layout (both measured).
+            s = int(layout.split(":")[1]) if ":" in layout else 8
+            n_p = layout_partitions or 32
+            base = edges.repartition(
+                n_p, "src", F.pmod(F.xxhash64("dst"), F.lit(s))
+            ).localCheckpoint()
         elif layout_partitions:
             base = _pinned_checkpoint(edges.repartition(layout_partitions, "src"))
         else:

@@ -240,6 +240,11 @@ def test_kcore_anti_matches_and_round_is_exchange_free(spark):
         for r in kcore_peel(sym, 3, 4, cumulative=True, layout_partitions=16).collect()
     }
     assert ka == kp
+    ks = {
+        (r.node, r.core_degree)
+        for r in kcore_peel(sym, 3, 4, cumulative=True, layout="salted:4").collect()
+    }
+    assert ka == ks
     # fixpoint early-exit must not change the answer vs a huge round budget
     kcum_many = {
         (r.node, r.core_degree) for r in kcore_peel(sym, 3, 50, cumulative=True).collect()
