@@ -108,6 +108,10 @@ BENCH_QUERIES = [
     "emb_decontamination",
     "winnow_fingerprints",
     "winnow_near_dup_pairs",
+    # round-4 curation additions (Gopher repetition / DSIR / entropy)
+    "gopher_repetition",
+    "dsir_importance",
+    "token_entropy",
 ]
 
 PIPELINE_BENCH_FILES = 3000

@@ -25,6 +25,7 @@ def load_all() -> None:
         sqlsurface,
         corpusops,
         trainprep,
+        curation,
         spansearch,
         kgdocs,  # (graph imports it, so it registers before graph either way)
         graph,

@@ -1,0 +1,283 @@
+"""Training-corpus curation signals beyond dedup: repetition filters,
+importance-sampling weights, and token-entropy quality scoring.
+
+These are the document-level *selection* operators a 100 TB pretraining
+pipeline runs between cleaning and packing:
+
+- ``gopher_repetition`` — the repetition rules of Rae et al. 2021
+  (Gopher, Table A1) re-expressed over the word stream: fraction of
+  characters in the most frequent 2-gram, and the duplicate-5-gram
+  occurrence fraction (occurrence-count variant of Gopher's
+  char-coverage — the span-union form needs interval merging per doc;
+  the occurrence fraction is the same signal and is exactly
+  SQL-expressible, so the oracle stays hard).
+- ``dsir_importance`` — Xie et al. 2023 (DSIR): hashed-bigram importance
+  weight log(p_target/p_raw) per document, target = the ``lang='en'``
+  slice, raw = the whole corpus, Laplace +1 smoothing over B=256
+  buckets.
+- ``token_entropy`` — Shannon entropy of the per-document unigram
+  distribution (low-entropy docs are keyboard-mash / template spam).
+
+Reference analog: the reference scores documents only by tf-idf/embedding
+relevance (/root/reference/search/tf_idf_search.py); corpus curation is
+part of this engine's LLM-data surface, not a port.
+
+Scale notes (100 TB): every query here is explode -> two-level hash
+aggregate with map-side partial aggregation; the only joins are per-doc
+result joins on doc_id (post-aggregation, rows = docs not grams) and a
+256-row broadcast in DSIR.  No windows over unbounded partitions, no
+HOF in a pair loop — the per-doc gram arrays are built once per row and
+exploded, so the quadratic-duplication trap (Catalyst re-evaluating the
+array per element_at) does not apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import ROUND, query, table
+
+TOP2_THRESH = 0.20  # Gopher: top-2-gram char fraction
+DUP5_THRESH = 0.15  # Gopher: duplicate-5-gram fraction (occurrence variant)
+DSIR_B = 256  # hashed bigram buckets
+
+# Shared SQL fragments (DuckDB) — tokens and n-gram arrays per doc.
+_SQL_TOKS = r"""
+  select doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') as t
+  from documents
+"""
+
+_SQL_GRAMS = rf"""
+  select doc_id, lang, length(array_to_string(t, '')) as tot_chars,
+         case when len(t) >= 2
+              then list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+              else []::VARCHAR[] end as g2,
+         case when len(t) >= 5
+              then list_transform(generate_series(1, len(t) - 4),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       || ' ' || t[i+3] || ' ' || t[i+4])
+              else []::VARCHAR[] end as g5
+  from ({_SQL_TOKS})
+"""
+
+
+def _toks():
+    return F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+
+
+def _grams_df(spark, sf_dir):
+    """Per-doc token n-gram arrays.  The gram arrays are materialized by
+    this projection boundary before any explode so Catalyst cannot
+    duplicate the tokenizer subtree into each consumer (the measured 31x
+    shingle trap — see memory/plan notes)."""
+    docs = table(spark, sf_dir, "documents")
+    t = _toks()
+    base = docs.select("doc_id", "lang", t.alias("t"))
+
+    def ngrams(n: int):
+        # concat_ws over slice keeps the builder codegen-friendly; the
+        # sequence guard yields an empty array for docs shorter than n.
+        return F.when(
+            F.size("t") >= n,
+            F.expr(
+                f"transform(sequence(0, size(t) - {n}),"
+                f" i -> concat_ws(' ', slice(t, i + 1, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return base.select(
+        "doc_id",
+        "lang",
+        F.length(F.concat_ws("", F.col("t"))).alias("tot_chars"),
+        ngrams(2).alias("g2"),
+        ngrams(5).alias("g5"),
+    )
+
+
+@query(
+    "gopher_repetition",
+    oracle=rf"""
+    with g as ({_SQL_GRAMS}),
+    c2 as (
+      select doc_id, gram, count(*)::BIGINT as c
+      from (select doc_id, unnest(g2) as gram from g) group by 1, 2
+    ),
+    top2 as (
+      select doc_id, max(c * length(replace(gram, ' ', ''))) as top_chars
+      from c2 group by 1
+    ),
+    c5 as (
+      select doc_id, gram, count(*)::BIGINT as c
+      from (select doc_id, unnest(g5) as gram from g) group by 1, 2
+    ),
+    d5 as (
+      select doc_id,
+             sum(case when c > 1 then c else 0 end)::DOUBLE / sum(c) as dup5
+      from c5 group by 1
+    ),
+    fr as (
+      select g.doc_id,
+             round(coalesce(top_chars, 0)::DOUBLE / greatest(tot_chars, 1),
+                   {ROUND}) as top2gram_frac,
+             round(coalesce(dup5, 0), {ROUND}) as dup5gram_frac
+      from g left join top2 using (doc_id) left join d5 using (doc_id)
+    )
+    select doc_id, top2gram_frac, dup5gram_frac,
+           case when top2gram_frac > {TOP2_THRESH} then 'rep_2gram'
+                when dup5gram_frac > {DUP5_THRESH} then 'rep_5gram'
+                else 'ok' end as verdict
+    from fr
+    """,
+)
+def gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 Table A1) over the word
+    stream: ``top2gram_frac`` = chars of the most frequent 2-gram as a
+    fraction of total token chars; ``dup5gram_frac`` = fraction of 5-gram
+    occurrences whose gram occurs more than once.  Verdict applies the
+    published thresholds (0.20 / 0.15) to the ROUNDED fractions on both
+    engines so the gate cannot flip on float dust.
+
+    Plan: one gram-array projection, two explode->hash-agg legs (both
+    with map-side partial agg), then doc_id-level joins over doc-count
+    sized sides.  Scale-safe: no per-gram shuffle survives past the
+    two-level aggregate."""
+    g = _grams_df(spark, sf_dir)
+    c2 = g.select("doc_id", F.explode("g2").alias("gram")).groupBy("doc_id", "gram").count()
+    top2 = c2.groupBy("doc_id").agg(
+        F.max(F.col("count") * F.length(F.regexp_replace("gram", " ", ""))).alias("top_chars")
+    )
+    c5 = g.select("doc_id", F.explode("g5").alias("gram")).groupBy("doc_id", "gram").count()
+    d5 = c5.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).cast("double")
+            / F.sum("count")
+        ).alias("dup5")
+    )
+    fr = (
+        g.select("doc_id", "tot_chars")
+        .join(top2, "doc_id", "left")
+        .join(d5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("top_chars"), F.lit(0)).cast("double")
+                / F.greatest(F.col("tot_chars"), F.lit(1)),
+                ROUND,
+            ).alias("top2gram_frac"),
+            F.round(F.coalesce(F.col("dup5"), F.lit(0.0)), ROUND).alias("dup5gram_frac"),
+        )
+    )
+    verdict = (
+        F.when(F.col("top2gram_frac") > TOP2_THRESH, "rep_2gram")
+        .when(F.col("dup5gram_frac") > DUP5_THRESH, "rep_5gram")
+        .otherwise("ok")
+    )
+    return fr.select("doc_id", "top2gram_frac", "dup5gram_frac", verdict.alias("verdict"))
+
+
+@query(
+    "dsir_importance",
+    oracle=rf"""
+    with g as ({_SQL_GRAMS}),
+    occ as (
+      select doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % {DSIR_B} as b
+      from (select doc_id, lang, unnest(g2) as gram from g)
+    ),
+    dist as (
+      select b,
+             sum(case when lang = 'en' then 1 else 0 end)::BIGINT as ct,
+             count(*)::BIGINT as cr
+      from occ group by 1
+    ),
+    tot as (select sum(ct) as nt, sum(cr) as nr from dist),
+    ratio as (
+      select b, ln((ct + 1.0) / (nt + {DSIR_B})) - ln((cr + 1.0) / (nr + {DSIR_B})) as lr
+      from dist, tot
+    ),
+    docb as (
+      select doc_id, b, count(*)::BIGINT as c from occ group by 1, 2
+    )
+    select doc_id, round(sum(c * lr), {ROUND}) as weight
+    from docb join ratio using (b)
+    group by 1
+    """,
+)
+def dsir_importance(spark, sf_dir):
+    """DSIR importance weight per document (Xie et al. 2023): hashed-bigram
+    bag weight sum_b n_doc(b) * [ln p_target(b) - ln p_raw(b)], target =
+    the ``lang='en'`` slice, raw = all docs, Laplace +1 over B=256 hashed
+    buckets (md5-prefix bucket id — the engine-agreed hash used across the
+    dedup family).
+
+    Plan: one explode feeds BOTH distributions (conditional sum for the
+    target slice — no second scan), the ratio table is {DSIR_B} rows and
+    broadcasts, and the per-doc weight is a hash aggregate over
+    (doc, bucket) partial counts.  At 100 TB the only full-data shuffles
+    are the two (doc_id/bucket)-keyed partial aggs; the join is broadcast."""
+    g = _grams_df(spark, sf_dir)
+    occ = g.select("doc_id", "lang", F.explode("g2").alias("gram")).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long") % DSIR_B).alias("b"),
+    )
+    dist = occ.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    tot = dist.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    ratio = F.broadcast(
+        dist.crossJoin(F.broadcast(tot)).select(
+            "b",
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + F.lit(float(DSIR_B))))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.lit(float(DSIR_B))))
+            ).alias("lr"),
+        )
+    )
+    docb = occ.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (
+        docb.join(ratio, "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), ROUND).alias("weight"))
+    )
+
+
+@query(
+    "token_entropy",
+    oracle=rf"""
+    with toks as (
+      select doc_id, unnest(t) as tok from ({_SQL_TOKS})
+    ),
+    tf as (
+      select doc_id, tok, count(*)::BIGINT as c from toks group by 1, 2
+    ),
+    n as (
+      select doc_id, sum(c) as n_tok from tf group by 1
+    )
+    select tf.doc_id,
+           round(-sum((c::DOUBLE / n_tok) * ln(c::DOUBLE / n_tok)), {ROUND})
+             as entropy
+    from tf join n using (doc_id)
+    group by 1
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's unigram distribution — the
+    standard low-entropy (template/mash) quality gate.  Two-level hash
+    aggregate; the doc-length join is doc-count sized."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    p = F.col("c").cast("double") / F.col("n_tok")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), ROUND).alias("entropy"))
+    )
