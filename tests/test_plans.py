@@ -294,3 +294,17 @@ def test_driver_path_cache_hygiene(spark, sf_dir):
     assert max(peaks) <= baseline + 8, peaks
     release_caches()
     assert sc.getPersistentRDDs().size() == baseline
+
+
+def test_curation_plans_hash_agg_broadcast_only(plans):
+    """The curation family must stay HashAggregate + broadcast-join: a
+    SortAggregate here means a struct/min-buffer snuck into an agg (the
+    measured 4.3x SortAggregate trap), and a SortMergeJoin means a
+    doc-level result join lost its broadcast at test scale."""
+    for name in ("gopher_repetition", "dsir_importance", "token_entropy"):
+        p = plans(name)
+        assert "SortAggregate" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "partial_" in p, name  # map-side combine on the gram aggs
+    # DSIR's 256-row ratio table must broadcast into the per-doc agg side
+    assert "BroadcastHashJoin" in plans("dsir_importance")
