@@ -67,33 +67,29 @@ def _toks():
     return F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
 
 
-def _grams_df(spark, sf_dir):
-    """Per-doc token n-gram arrays.  The gram arrays are materialized by
-    this projection boundary before any explode so Catalyst cannot
-    duplicate the tokenizer subtree into each consumer (the measured 31x
-    shingle trap — see memory/plan notes)."""
+def _tok_base(spark, sf_dir):
+    """Per-doc token array projection (one tokenizer evaluation per doc)."""
     docs = table(spark, sf_dir, "documents")
-    t = _toks()
-    base = docs.select("doc_id", "lang", t.alias("t"))
+    return docs.select("doc_id", "lang", _toks().alias("t"))
 
-    def ngrams(n: int):
-        # concat_ws over slice keeps the builder codegen-friendly; the
-        # sequence guard yields an empty array for docs shorter than n.
-        return F.when(
-            F.size("t") >= n,
-            F.expr(
-                f"transform(sequence(0, size(t) - {n}),"
-                f" i -> concat_ws(' ', slice(t, i + 1, {n})))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
 
-    return base.select(
-        "doc_id",
-        "lang",
-        F.length(F.concat_ws("", F.col("t"))).alias("tot_chars"),
-        ngrams(2).alias("g2"),
-        ngrams(5).alias("g5"),
-    )
+def _gram_expr(n: int):
+    """Token n-gram array expression over the ``t`` column.
+
+    MUST be exploded INLINE (``explode(_gram_expr(n))`` in the same
+    select), never projected to a named array column and exploded in a
+    later select: the two-step form measured 8x slower at sf0.1 (6.6 s
+    vs 0.8 s for the identical explode+groupBy) — the projected-array
+    Generate falls off the fast path, the mirror image of the round-1
+    element_at duplication trap where a projection boundary was the FIX.
+    The sequence guard yields an empty array for docs shorter than n."""
+    return F.when(
+        F.size("t") >= n,
+        F.expr(
+            f"transform(sequence(0, size(t) - {n}),"
+            f" i -> concat_ws(' ', slice(t, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @query(
@@ -143,12 +139,20 @@ def gopher_repetition(spark, sf_dir):
     with map-side partial agg), then doc_id-level joins over doc-count
     sized sides.  Scale-safe: no per-gram shuffle survives past the
     two-level aggregate."""
-    g = _grams_df(spark, sf_dir)
-    c2 = g.select("doc_id", F.explode("g2").alias("gram")).groupBy("doc_id", "gram").count()
+    base = _tok_base(spark, sf_dir)
+    c2 = (
+        base.select("doc_id", F.explode(_gram_expr(2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+    )
     top2 = c2.groupBy("doc_id").agg(
         F.max(F.col("count") * F.length(F.regexp_replace("gram", " ", ""))).alias("top_chars")
     )
-    c5 = g.select("doc_id", F.explode("g5").alias("gram")).groupBy("doc_id", "gram").count()
+    c5 = (
+        base.select("doc_id", F.explode(_gram_expr(5)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+    )
     d5 = c5.groupBy("doc_id").agg(
         (
             F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).cast("double")
@@ -156,7 +160,7 @@ def gopher_repetition(spark, sf_dir):
         ).alias("dup5")
     )
     fr = (
-        g.select("doc_id", "tot_chars")
+        base.select("doc_id", F.length(F.concat_ws("", F.col("t"))).alias("tot_chars"))
         .join(top2, "doc_id", "left")
         .join(d5, "doc_id", "left")
         .select(
@@ -217,15 +221,21 @@ def dsir_importance(spark, sf_dir):
     broadcasts, and the per-doc weight is a hash aggregate over
     (doc, bucket) partial counts.  At 100 TB the only full-data shuffles
     are the two (doc_id/bucket)-keyed partial aggs; the join is broadcast."""
-    g = _grams_df(spark, sf_dir)
-    occ = g.select("doc_id", "lang", F.explode("g2").alias("gram")).select(
+    base = _tok_base(spark, sf_dir)
+    occ = base.select("doc_id", "lang", F.explode(_gram_expr(2)).alias("gram")).select(
         "doc_id",
         "lang",
         (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long") % DSIR_B).alias("b"),
     )
-    dist = occ.groupBy("b").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("ct"),
-        F.count("*").alias("cr"),
+    # one explode feeds everything: reduce to (doc, lang, bucket) counts
+    # first, then derive BOTH corpus distributions from the reduced table
+    # (docs x <=256 rows) instead of re-scanning the gram stream.
+    docb_l = occ.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+    dist = docb_l.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum("c").alias("cr"),
     )
     tot = dist.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     ratio = F.broadcast(
@@ -237,7 +247,7 @@ def dsir_importance(spark, sf_dir):
             ).alias("lr"),
         )
     )
-    docb = occ.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    docb = docb_l.select("doc_id", "b", "c")
     return (
         docb.join(ratio, "b")
         .groupBy("doc_id")
