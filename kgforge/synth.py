@@ -174,3 +174,50 @@ def synth_files_df(spark, n: int, seed: int = 42, partitions: int | None = None)
             yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
     return rng.mapInPandas(gen, schema=schemas.FILES)
+
+
+def synth_documents_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Deterministic ``documents(doc_id, text, lang, source, n_chars)``
+    corpus for curation-operator scale runs — the documents-table analog
+    of ``synth_files_df``, but generated entirely ENGINE-SIDE (pure
+    Catalyst expressions over ``spark.range``: no Python workers, no
+    driver data, no shuffle), so the generator itself never bounds a
+    scaling measurement.
+
+    Shape mirrors the driver testdata: word-stream text over a ~400-word
+    Zipf-ish vocabulary (token index = floor(u^3 * 400) skews mass toward
+    low ids), doc length 80..279 tokens, en-heavy lang mix, 20 sources.
+    Every 20th doc tiles its own first 5 tokens — a repetition-heavy
+    slice that exercises the Gopher dup-5-gram path with a known verdict
+    split.  Row ``i`` is a pure function of ``(i, seed)``.
+    """
+    from pyspark.sql import functions as F
+
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    s = seed * 1_000_003
+    base = rng.select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64(F.col("id") + F.lit(s + 1)), F.lit(200)) + 80).alias("ln"),
+    )
+    toks = base.select(
+        "doc_id",
+        "ln",
+        F.expr(
+            f"transform(sequence(1, cast(ln as int)), i -> concat('w', cast("
+            f"pow(pmod(xxhash64(doc_id * 100003 + i + {s}), 10000) / 10000.0, 3.0)"
+            f" * 400 as int)))"
+        ).alias("t"),
+    )
+    # repetition-heavy slice: tile the doc's own first 5 tokens to full length
+    tiled = F.expr(
+        "slice(flatten(array_repeat(slice(t, 1, 5), cast(ceil(ln / 5.0) as int))),"
+        " 1, cast(ln as int))"
+    )
+    t_final = F.when(F.pmod(F.col("doc_id"), F.lit(20)) == 0, tiled).otherwise(F.col("t"))
+    langs = "'en','en','en','fr','de','es'"
+    return toks.select(
+        "doc_id",
+        F.array_join(t_final, " ").alias("text"),
+        F.expr(f"elt(1 + pmod(xxhash64(doc_id + {s + 2}), 6), {langs})").alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20))).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
