@@ -108,10 +108,11 @@ BENCH_QUERIES = [
     "emb_decontamination",
     "winnow_fingerprints",
     "winnow_near_dup_pairs",
-    # round-4 curation additions (Gopher repetition / DSIR / entropy)
+    # round-4 curation additions (Gopher repetition / DSIR / entropy / CCNet)
     "gopher_repetition",
     "dsir_importance",
     "token_entropy",
+    "ccnet_ppl",
 ]
 
 PIPELINE_BENCH_FILES = 3000

@@ -11,9 +11,15 @@ median efficiency.
 These kernels are the family's scale-shape thesis in miniature: one
 explode -> two-level hash aggregate with map-side combine, doc-level
 result joins, and (DSIR) a 256-row broadcast — no iterative rounds, no
-per-round driver actions, so unlike the graph kernels there is no
-round-scheduling Amdahl term and the paired proxy should sit near the
-pipeline's own 0.9.
+per-round driver actions.  MEASURED (300k docs, 3 windows): the paired
+proxy does NOT sit at the pipeline's 0.9 — gram-heavy kernels land at
+0.48-0.73 median with clean-window bests of 0.55/0.84/0.93, because an
+explode->hash-agg over tens of millions of freshly-allocated gram
+STRINGS is pure memory traffic: the same DRAM-bandwidth ceiling the
+kcore/PageRank map-only stages hit (BASELINE.md round 4), which a real
+4N-executor cluster — each executor bringing its own memory controller
+— does not share.  The stage_* pseudo-kernels below attribute the
+residual per leg.
 
 Determinism across levels: ``gopher_repetition`` is EXACTLY
 deterministic (all its fractions are single divisions of per-doc
@@ -26,6 +32,10 @@ oracle gate's job at sf scale.
 
 Usage:
     python bench/curation_scaling.py --docs 300000 --repeats 3
+    # per-stage attribution of a sub-gate efficiency (kcore playbook):
+    python bench/curation_scaling.py --docs 300000 --repeats 3 \
+        --kernels stage_scan_tokenize,stage_gram2_stream,stage_tok_agg \
+        --out BENCH_SCALING_CURATION_STAGES.json
 Results -> BENCH_SCALING_CURATION.json, summarized in BASELINE.md.
 """
 
@@ -47,6 +57,98 @@ if _REPO_ROOT not in sys.path:
 KERNELS = ["gopher_repetition", "dsir_importance", "token_entropy"]
 WARM_DOCS = 3_000
 
+# Stage-decomposition pseudo-kernels (--kernels stage_*): each isolates one
+# leg of the explode->hash-agg shape so a sub-gate paired efficiency can be
+# attributed (the kcore/PageRank playbook).  stage_scan_tokenize is the
+# map-only tokenizer explode (no exchange at all); stage_gram2_stream adds
+# the 2-gram string construction (still map-only); stage_tok_agg adds the
+# (doc_id, tok) two-level hash aggregate — the only full-data exchange any
+# curation kernel performs.  Count-gated only (full kernels carry the
+# checksum gates).
+STAGE_KERNELS = (
+    "stage_scan_tokenize",
+    "stage_gram2_stream",
+    "stage_gram5_stream",
+    "stage_gram2_struct",
+    "stage_gram2_agg",
+    "stage_gram2_hash_agg",
+    "stage_gram2_struct_agg",
+    "stage_tok_agg",
+)
+
+
+def _stage_df(spark, name: str, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.curation import _gram_expr, _tok_base
+
+    base = _tok_base(spark, sf_dir)
+    if name == "stage_scan_tokenize":
+        return base.select("doc_id", F.explode("t").alias("tok")).agg(
+            F.count(F.lit(1)).alias("n_tokens")
+        )
+    if name == "stage_gram2_stream":
+        return base.select("doc_id", F.explode(_gram_expr(2)).alias("gram")).agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+    if name == "stage_gram5_stream":
+        return base.select("doc_id", F.explode(_gram_expr(5)).alias("gram")).agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+    if name == "stage_gram2_struct":
+        # gram as a (w1, w2) token-reference STRUCT: no concat allocation
+        # in the hot loop — isolates whether the gram2_stream wall is the
+        # string building or the explode volume itself.
+        struct2 = F.when(
+            F.size("t") >= 2,
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i+1] as w2))"),
+        ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        return base.select("doc_id", F.explode(struct2).alias("g")).agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+    if name == "stage_gram2_agg":
+        # the full gopher c2 leg: concat-string grams + (doc_id, gram) agg
+        return (
+            base.select("doc_id", F.explode(_gram_expr(2)).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+    if name == "stage_gram2_hash_agg":
+        # struct stream + agg keyed on (doc_id, xxhash64(w1, w2)): the
+        # exchange carries fixed-width long keys instead of gram strings.
+        struct2 = F.when(
+            F.size("t") >= 2,
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i+1] as w2))"),
+        ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        return (
+            base.select("doc_id", F.explode(struct2).alias("g"))
+            .select("doc_id", F.xxhash64("g.w1", "g.w2").alias("h"))
+            .groupBy("doc_id", "h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+    if name == "stage_gram2_struct_agg":
+        # same agg keyed on the struct fields instead of a concat string
+        struct2 = F.when(
+            F.size("t") >= 2,
+            F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] as w1, t[i+1] as w2))"),
+        ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        return (
+            base.select("doc_id", F.explode(struct2).alias("g"))
+            .groupBy("doc_id", "g.w1", "g.w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+    if name == "stage_tok_agg":
+        return (
+            base.select("doc_id", F.explode("t").alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+    raise ValueError(name)
+
 
 def _signature(spark, name: str, df):
     from pyspark.sql import functions as F
@@ -55,8 +157,13 @@ def _signature(spark, name: str, df):
         sig_expr = "bit_xor(xxhash64(doc_id, top2gram_frac, dup5gram_frac, verdict))"
     elif name == "dsir_importance":
         sig_expr = "bit_xor(xxhash64(doc_id, round(weight, 1)))"
-    else:
+    elif name == "token_entropy":
         sig_expr = "bit_xor(xxhash64(doc_id, round(entropy, 1)))"
+    elif name == "ccnet_ppl":
+        sig_expr = "bit_xor(xxhash64(doc_id, n_bigrams, round(avg_logprob, 1), ppl_bucket))"
+    else:  # stage pseudo-kernels: already a one-row count
+        row = df.first()
+        return int(row[0]), 0
     row = df.agg(F.count(F.lit(1)).alias("n"), F.expr(sig_expr).alias("sig")).first()
     return int(row["n"]), int(row["sig"] or 0)
 
@@ -71,14 +178,21 @@ def worker(cpus: int, corpus_dir: str, warm_dir: str) -> None:
     spark = build_session(f"kgforge-cscale-{cpus}", master=f"local[{cpus}]")
     spark.read.parquet(f"{corpus_dir}/documents.parquet").count()  # scan warm-up
 
+    kernels = os.environ.get("KGF_CSCALE_KERNELS", ",".join(KERNELS)).split(",")
+
+    def build(name, sf_dir):
+        if name in STAGE_KERNELS:
+            return _stage_df(spark, name, sf_dir)
+        return registry.QUERIES[name](spark, sf_dir)
+
     result: dict = {"cpus": cpus, "kernels": {}}
-    for name in KERNELS:
+    for name in kernels:
         # per-kernel JIT warm-up on the small corpus (identical at both
         # levels, excluded — a cluster executor amortizes codegen)
-        registry.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        build(name, warm_dir).write.format("noop").mode("overwrite").save()
         release_caches()
         t0 = time.time()
-        n, sig = _signature(spark, name, registry.QUERIES[name](spark, corpus_dir))
+        n, sig = _signature(spark, name, build(name, corpus_dir))
         secs = time.time() - t0
         release_caches()
         result["kernels"][name] = {"secs": round(secs, 3), "rows": n, "sig": sig}
@@ -124,6 +238,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=300_000)
     ap.add_argument("--cores", default="2,8")
+    ap.add_argument("--kernels", default=",".join(KERNELS))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--worker", type=int, default=0)
@@ -145,7 +260,9 @@ def main() -> None:
 
     lo, hi = (int(c) for c in args.cores.split(","))
     ratio = hi / lo
+    kernels = args.kernels.split(",")
     thread_env = {
+        "KGF_CSCALE_KERNELS": args.kernels,
         "OMP_NUM_THREADS": "1",
         "OPENBLAS_NUM_THREADS": "1",
         "MKL_NUM_THREADS": "1",
@@ -157,7 +274,7 @@ def main() -> None:
         got_lo = _spawn(lo, corpus_dir, warm_dir, tmp_root, thread_env)
         got_hi = _spawn(hi, corpus_dir, warm_dir, tmp_root, thread_env)
         pair: dict = {}
-        for k in KERNELS:
+        for k in kernels:
             a, b = got_lo["kernels"][k], got_hi["kernels"][k]
             assert a["rows"] == b["rows"] and a["sig"] == b["sig"], (
                 f"nondeterministic {k}: {a} vs {b}"
@@ -171,7 +288,7 @@ def main() -> None:
         print(json.dumps({"pair": rep + 1, **pair}), flush=True)
 
     summary = {}
-    for k in KERNELS:
+    for k in kernels:
         effs = [p[k]["eff"] for p in series]
         summary[k] = {
             "median_eff": round(statistics.median(effs), 3),
@@ -184,7 +301,7 @@ def main() -> None:
     out = {
         "docs": args.docs,
         "cores": [lo, hi],
-        "kernels": KERNELS,
+        "kernels": kernels,
         "method": (
             f"{args.repeats} PAIRED fresh-JVM invocations per level over one "
             f"pre-materialized engine-side synthetic documents parquet "

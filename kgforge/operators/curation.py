@@ -17,6 +17,13 @@ pipeline runs between cleaning and packing:
   buckets.
 - ``token_entropy`` — Shannon entropy of the per-document unigram
   distribution (low-entropy docs are keyboard-mash / template spam).
+- ``ccnet_ppl`` — CCNet-style LM perplexity bucketing (Wenzek et al.
+  2020): score every document's mean bigram log-probability under a
+  Laplace-smoothed bigram LM trained on a deterministic reference
+  slice of the corpus, then cut head/middle/tail quality buckets —
+  the filter CCNet runs with a Wikipedia KenLM, here with the
+  corpus-internal reference slice so both engines derive the
+  identical model from the same table.
 
 Reference analog: the reference scores documents only by tf-idf/embedding
 relevance (/root/reference/search/tf_idf_search.py); corpus curation is
@@ -40,6 +47,9 @@ from .registry import ROUND, query, table
 TOP2_THRESH = 0.20  # Gopher: top-2-gram char fraction
 DUP5_THRESH = 0.15  # Gopher: duplicate-5-gram fraction (occurrence variant)
 DSIR_B = 256  # hashed bigram buckets
+PPL_REF_MOD = 3  # LM reference slice: doc_id % 3 == 0 (CCNet's "clean LM corpus")
+PPL_HEAD = -4.91  # head/middle cut on rounded avg log2 prob (higher = more fluent)
+PPL_TAIL = -4.97  # middle/tail cut (cuts sit at the synth corpus tertiles, stable sf0.001-0.1)
 
 # Shared SQL fragments (DuckDB) — tokens and n-gram arrays per doc.
 _SQL_TOKS = r"""
@@ -92,6 +102,46 @@ def _gram_expr(n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _gram2_hash_expr():
+    """2-gram stream as fixed-width (xxhash64 key, char length) structs.
+
+    The concat-string gram stream is the curation family's measured
+    scaling wall (BENCH_SCALING_CURATION_STAGES.json: the map-only
+    concat leg sits at 0.32-0.41 paired efficiency while the tokenizer
+    explode and the hash-agg exchange both clear 0.75 — ~45M short-lived
+    strings allocated into one shared heap serialize on allocation/GC).
+    Hashing INSIDE the transform lambda emits (long, int) rows instead:
+    no token copies, no string keys in the exchange — the hash-keyed agg
+    measured 1.6x faster at BOTH parallelism levels (47.4/24.9 s vs
+    77.3/34.6 s at 300k docs, local[2]/local[8]).
+
+    Correctness: grouping by xxhash64(w1, w2) is exact up to hash
+    collisions WITHIN one document's gram set (~150 grams -> collision
+    odds ~1e-16 per doc, ~1e-10 over 500k docs); the multi-arg hash
+    chains per-value so no concat boundary ambiguity exists.  The DuckDB
+    oracle gate re-verifies exact counts every round.  Same guard
+    convention as _gram_expr; same INLINE-explode rule applies."""
+    return F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(0, size(t) - 2),"
+            " i -> struct(xxhash64(t[i], t[i+1]) as h,"
+            "             length(t[i]) + length(t[i+1]) as glen))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<h:bigint,glen:int>>"))
+
+
+def _gram5_hash_expr():
+    """5-gram stream as xxhash64 keys only (dup5 needs no lengths)."""
+    return F.when(
+        F.size("t") >= 5,
+        F.expr(
+            "transform(sequence(0, size(t) - 5),"
+            " i -> xxhash64(t[i], t[i+1], t[i+2], t[i+3], t[i+4]))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+
+
 @query(
     "gopher_repetition",
     oracle=rf"""
@@ -135,22 +185,24 @@ def gopher_repetition(spark, sf_dir):
     published thresholds (0.20 / 0.15) to the ROUNDED fractions on both
     engines so the gate cannot flip on float dust.
 
-    Plan: one gram-array projection, two explode->hash-agg legs (both
-    with map-side partial agg), then doc_id-level joins over doc-count
-    sized sides.  Scale-safe: no per-gram shuffle survives past the
-    two-level aggregate."""
+    Plan: two inline hash-gram explode->hash-agg legs (both with
+    map-side partial agg), then doc_id-level joins over doc-count sized
+    sides.  The gram streams are (doc_id, xxhash64, len) fixed-width
+    rows, not strings — see _gram2_hash_expr for the measured 1.6x
+    both-levels win and the collision bound.  Scale-safe: no per-gram
+    shuffle survives past the two-level aggregate."""
     base = _tok_base(spark, sf_dir)
     c2 = (
-        base.select("doc_id", F.explode(_gram_expr(2)).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .count()
+        base.select("doc_id", F.explode(_gram2_hash_expr()).alias("g"))
+        .groupBy("doc_id", F.col("g.h").alias("h"))
+        .agg(F.count(F.lit(1)).alias("count"), F.max("g.glen").alias("glen"))
     )
     top2 = c2.groupBy("doc_id").agg(
-        F.max(F.col("count") * F.length(F.regexp_replace("gram", " ", ""))).alias("top_chars")
+        F.max(F.col("count") * F.col("glen")).alias("top_chars")
     )
     c5 = (
-        base.select("doc_id", F.explode(_gram_expr(5)).alias("gram"))
-        .groupBy("doc_id", "gram")
+        base.select("doc_id", F.explode(_gram5_hash_expr()).alias("h"))
+        .groupBy("doc_id", "h")
         .count()
     )
     d5 = c5.groupBy("doc_id").agg(
@@ -291,3 +343,90 @@ def token_entropy(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log(p)), ROUND).alias("entropy"))
     )
+
+
+@query(
+    "ccnet_ppl",
+    oracle=rf"""
+    with g as ({_SQL_GRAMS}),
+    big as (select doc_id, unnest(g2) as gram from g),
+    c12 as (
+      select gram, count(*)::BIGINT as c12 from big
+      where doc_id % {PPL_REF_MOD} = 0 group by 1
+    ),
+    c1 as (
+      select split_part(gram, ' ', 1) as w1, sum(c12)::BIGINT as c1
+      from c12 group by 1
+    ),
+    vv as (select count(*)::BIGINT as v from c1),
+    scored as (
+      select b.doc_id, count(*)::BIGINT as n_bigrams,
+             round(sum(log2((coalesce(c12, 0) + 1.0)
+                            / (coalesce(c1, 0) + v))) / count(*),
+                   {ROUND}) as avg_logprob
+      from big b
+      left join c12 using (gram)
+      left join c1 on split_part(b.gram, ' ', 1) = c1.w1
+      cross join vv
+      group by 1
+    )
+    select doc_id, n_bigrams, avg_logprob,
+           case when avg_logprob >= {PPL_HEAD} then 'head'
+                when avg_logprob >= {PPL_TAIL} then 'middle'
+                else 'tail' end as ppl_bucket
+    from scored
+    """,
+)
+def ccnet_ppl(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc mean
+    log2 probability of its bigram transitions under a Laplace-smoothed
+    bigram LM trained on the deterministic reference slice
+    ``doc_id % PPL_REF_MOD == 0`` (standing in for CCNet's Wikipedia KenLM so
+    Spark and DuckDB derive the identical model from the same table), cut
+    into head/middle/tail buckets on the ROUNDED score — CCNet keeps
+    head+middle for training.  P(w2|w1) = (c12+1)/(c1+V) with c1 summed
+    over bigram starts and V = distinct start tokens; docs with <2 tokens
+    have no transitions and emit no row.
+
+    Plan shape: ONE inline bigram explode feeds both the model aggregates
+    and the scoring pass.  The trained model (c12/c1, vocabulary-sized —
+    model-sized, not corpus-sized, after the hash agg) broadcasts to the
+    scoring join, so the corpus-side stream is never shuffled by gram: the
+    only full-data exchange is the final doc_id hash agg.  At 100 TB with
+    a pruned-KenLM-sized model this is exactly CCNet's layout (model to
+    every worker, one pass over the corpus); if the model outgrows the
+    broadcast ceiling the same query degrades to a shuffle equi-join on
+    gram — no plan rewrite needed.
+
+    Reference analog: the reference has no corpus-quality LM
+    (/root/reference/search/tf_idf_search.py scores relevance only);
+    this is LLM-data surface."""
+    base = _tok_base(spark, sf_dir)
+    big = base.select("doc_id", F.explode(_gram_expr(2)).alias("gram"))
+    c12 = (
+        big.where(F.col("doc_id") % PPL_REF_MOD == 0)
+        .groupBy("gram")
+        .agg(F.count("*").alias("c12"))
+    )
+    w1 = F.split_part(F.col("gram"), F.lit(" "), F.lit(1))
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    vv = c1.agg(F.count("*").alias("v"))
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    )
+    scored = (
+        big.join(F.broadcast(c12), "gram", "left")
+        .join(F.broadcast(c1), w1 == F.col("w1"), "left")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(F.log2(p)) / F.count("*"), ROUND).alias("avg_logprob"),
+        )
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= PPL_HEAD, "head")
+        .when(F.col("avg_logprob") >= PPL_TAIL, "middle")
+        .otherwise("tail")
+    )
+    return scored.select("doc_id", "n_bigrams", "avg_logprob", bucket.alias("ppl_bucket"))

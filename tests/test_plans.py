@@ -301,10 +301,16 @@ def test_curation_plans_hash_agg_broadcast_only(plans):
     SortAggregate here means a struct/min-buffer snuck into an agg (the
     measured 4.3x SortAggregate trap), and a SortMergeJoin means a
     doc-level result join lost its broadcast at test scale."""
-    for name in ("gopher_repetition", "dsir_importance", "token_entropy"):
+    for name in ("gopher_repetition", "dsir_importance", "token_entropy", "ccnet_ppl"):
         p = plans(name)
         assert "SortAggregate" not in p, name
         assert "CartesianProduct" not in p, name
         assert "partial_" in p, name  # map-side combine on the gram aggs
     # DSIR's 256-row ratio table must broadcast into the per-doc agg side
     assert "BroadcastHashJoin" in plans("dsir_importance")
+    # The CCNet LM (c12/c1 model tables) must broadcast into the scoring
+    # pass: a SortMergeJoin on gram would shuffle the whole corpus stream
+    # by gram — the exact layout the broadcast-LM design avoids.
+    ccnet = plans("ccnet_ppl")
+    assert "BroadcastHashJoin" in ccnet
+    assert "SortMergeJoin" not in ccnet
