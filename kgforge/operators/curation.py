@@ -142,6 +142,24 @@ def _gram5_hash_expr():
     ).otherwise(F.expr("array()").cast("array<bigint>"))
 
 
+def _bigram_hash_expr():
+    """Bigram stream as (xxhash64(w1, w2), xxhash64(w1)) structs — the
+    ccnet_ppl hash-keyed scoring stream (same rationale and collision
+    argument as _gram2_hash_expr, except the hash scope here is the
+    GLOBAL bigram vocabulary, not one document: with D distinct bigrams
+    the chance of any collision anywhere is ~D^2/2^65 — ~1e-13 at test
+    scale, ~3% at D=1e9, where one merged count among 1e9 perturbs a
+    smoothed LM score imperceptibly; the DuckDB oracle stays exact and
+    string-keyed and re-verifies every round)."""
+    return F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(0, size(t) - 2),"
+            " i -> struct(xxhash64(t[i], t[i+1]) as h2, xxhash64(t[i]) as h1))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<h2:bigint,h1:bigint>>"))
+
+
 @query(
     "gopher_repetition",
     oracle=rf"""
@@ -389,34 +407,40 @@ def ccnet_ppl(spark, sf_dir):
     have no transitions and emit no row.
 
     Plan shape: ONE inline bigram explode feeds both the model aggregates
-    and the scoring pass.  The trained model (c12/c1, vocabulary-sized —
+    and the scoring pass, and the stream is HASH-KEYED fixed-width rows
+    (_bigram_hash_expr — the concat gram-string stream is the family's
+    measured shared-JVM scaling wall, see _gram2_hash_expr).  The trained
+    model (c12 keyed by bigram hash, c1 by start-token hash —
     model-sized, not corpus-sized, after the hash agg) broadcasts to the
-    scoring join, so the corpus-side stream is never shuffled by gram: the
-    only full-data exchange is the final doc_id hash agg.  At 100 TB with
-    a pruned-KenLM-sized model this is exactly CCNet's layout (model to
-    every worker, one pass over the corpus); if the model outgrows the
-    broadcast ceiling the same query degrades to a shuffle equi-join on
-    gram — no plan rewrite needed.
+    scoring join, so the corpus-side stream is never shuffled by gram:
+    the only full-data exchange is the final doc_id hash agg.  At 100 TB
+    with a pruned-KenLM-sized model this is exactly CCNet's layout
+    (model to every worker, one pass over the corpus); if the model
+    outgrows the broadcast ceiling the same query degrades to a shuffle
+    equi-join on the hash — no plan rewrite needed.
 
     Reference analog: the reference has no corpus-quality LM
     (/root/reference/search/tf_idf_search.py scores relevance only);
     this is LLM-data surface."""
     base = _tok_base(spark, sf_dir)
-    big = base.select("doc_id", F.explode(_gram_expr(2)).alias("gram"))
+    big = base.select("doc_id", F.explode(_bigram_hash_expr()).alias("g")).select(
+        "doc_id", "g.h2", "g.h1"
+    )
     c12 = (
         big.where(F.col("doc_id") % PPL_REF_MOD == 0)
-        .groupBy("gram")
-        .agg(F.count("*").alias("c12"))
+        .groupBy("h2")
+        # h1 is functionally dependent on h2 (same bigram -> same start
+        # token); max() just picks the one value hash-aggregably.
+        .agg(F.count("*").alias("c12"), F.max("h1").alias("mh1"))
     )
-    w1 = F.split_part(F.col("gram"), F.lit(" "), F.lit(1))
-    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    c1 = c12.groupBy(F.col("mh1").alias("h1")).agg(F.sum("c12").alias("c1"))
     vv = c1.agg(F.count("*").alias("v"))
     p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0)) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     )
     scored = (
-        big.join(F.broadcast(c12), "gram", "left")
-        .join(F.broadcast(c1), w1 == F.col("w1"), "left")
+        big.join(F.broadcast(c12.drop("mh1")), "h2", "left")
+        .join(F.broadcast(c1), "h1", "left")
         .crossJoin(F.broadcast(vv))
         .groupBy("doc_id")
         .agg(

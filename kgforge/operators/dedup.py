@@ -740,6 +740,91 @@ def near_dup_clusters(spark, sf_dir):
     )
 
 
+# --------------------------------------------------- survivor selection
+# Packed argmax for "keep the best doc per cluster": survivor =
+# argmax(n_chars, tie -> min doc_id).  max(struct(...)) is the measured
+# 4.3x SortAggregate trap, and _pack_argmin's 1024-slot id field cannot
+# hold corpus-scale doc_ids, so this packs (quality, inverted id) into
+# one int64 with a 2^40 id radix: n_chars * 2^40 + (2^40-1 - doc_id) is
+# exact for n_chars < 8.3e6 and doc_id < 2^40, HashAggregate-able, and
+# the identical integer expression runs in DuckDB for the oracle.
+_SURV_RADIX = 1 << 40
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    with recursive {_SQL_NGRAM_PAIRS},
+    edges as (
+      select doc_a as a, doc_b as b from ngram_pairs
+      union
+      select doc_b as a, doc_a as b from ngram_pairs
+    ),
+    verts as (select distinct a as doc from edges),
+    reach(doc, r) as (
+      select doc, doc from verts
+      union
+      select reach.doc, e.b from reach join edges e on e.a = reach.r
+    ),
+    clusters as (
+      select doc as doc_id, min(r)::BIGINT as cluster_rep
+      from reach group by doc
+    ),
+    surv as (
+      select cluster_rep,
+             {_SURV_RADIX - 1} - (max(d.n_chars::BIGINT * {_SURV_RADIX}
+                                      + ({_SURV_RADIX - 1} - c.doc_id))
+                                  % {_SURV_RADIX}) as survivor_id
+      from clusters c join documents d using (doc_id)
+      group by cluster_rep
+    )
+    select d.doc_id,
+           coalesce(surv.survivor_id, d.doc_id)::BIGINT as survivor_id,
+           (coalesce(surv.survivor_id, d.doc_id) = d.doc_id) as keep
+    from documents d
+    left join clusters c on c.doc_id = d.doc_id
+    left join surv on surv.cluster_rep = c.cluster_rep
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """Survivor selection over near-dup clusters — the step between
+    "clusters found" and "corpus written" (the keep-longest policy of
+    RefinedWeb/BigCode dedup): per cluster keep argmax(n_chars, tie ->
+    min doc_id), every unclustered doc keeps itself.  Output is a
+    full-corpus verdict (doc_id, survivor_id, keep).
+
+    Plan: the CC mapping (only docs in some near-dup pair — a small
+    fraction of any real corpus) joins the documents scan on doc_id for
+    n_chars, one HashAggregate per cluster computes the packed argmax
+    (see _SURV_RADIX — the struct-max SortAggregate trap avoided with
+    corpus-scale ids), and the survivor table joins back to the corpus
+    as the broadcast side.  At 100 TB the corpus stream is touched
+    twice, map-only; everything cluster-sized rides broadcasts."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = near_dup_clusters(spark, sf_dir)
+    packed = F.col("n_chars").cast("long") * _SURV_RADIX + (
+        F.lit(_SURV_RADIX - 1) - F.col("doc_id")
+    )
+    surv = (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(
+            (F.lit(_SURV_RADIX - 1) - F.max(packed) % _SURV_RADIX).alias("survivor_id")
+        )
+    )
+    out = (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .join(F.broadcast(surv), "cluster_rep", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("survivor_id"), F.col("doc_id")).cast("long").alias("survivor_id"),
+        )
+    )
+    return out.select(
+        "doc_id", "survivor_id", (F.col("survivor_id") == F.col("doc_id")).alias("keep")
+    )
+
+
 # ----------------------------------------------- incremental canonicalization
 # The daily-ingest shape for CLUSTERS (minhash_incremental's analog one
 # level up): yesterday's corpus already has a canonical mapping; today a
