@@ -45,8 +45,9 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
-    # near_dup_clusters is oracle-gated but NOT benched: it forces the
-    # distributed CC loop on a toy edge set (local_threshold=0), so its
+    # near_dup_clusters / dedup_survivors are oracle-gated but NOT
+    # benched: they force the
+    # distributed CC loop on a toy edge set (local_threshold=0), so the
     # wall time is ~8 rounds of job-scheduling latency, not a scale
     # signal — distributed CC throughput is benched via pipeline_triples
     # and bench/scaling.py instead.
@@ -113,6 +114,7 @@ BENCH_QUERIES = [
     "dsir_importance",
     "token_entropy",
     "ccnet_ppl",
+    "unimax_alloc",
 ]
 
 PIPELINE_BENCH_FILES = 3000

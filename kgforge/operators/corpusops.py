@@ -239,6 +239,103 @@ def mixture_sample(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------ UniMax allocation
+UNIMAX_EMAX = 1.5  # per-source epoch cap
+UNIMAX_BFRAC = 1.3  # training budget as a fraction of total corpus chars
+
+
+@query(
+    "unimax_alloc",
+    oracle=f"""
+    with src as (
+      select source, count(*)::BIGINT as n_docs, sum(n_chars)::BIGINT as chars,
+             sum(n_chars) * {UNIMAX_EMAX} as cap
+      from documents group by source
+    ),
+    tot as (select sum(chars) * {UNIMAX_BFRAC} as budget, count(*)::BIGINT as s from src),
+    ranked as (
+      select src.*, budget, s,
+             row_number() over (order by cap, source) as i,
+             coalesce(sum(cap) over (order by cap, source
+                                     rows between unbounded preceding and 1 preceding), 0)
+               as prefix
+      from src, tot
+    ),
+    shared as (
+      select *, (budget - prefix) / (s - i + 1) as share from ranked
+    ),
+    jstar as (select min(i) as j from shared where cap > share)
+    select source, n_docs, chars,
+           round(case when j is not null and i >= j
+                      then (select share from shared where i = j)
+                      else cap end, {ROUND}) as alloc_chars,
+           round(case when j is not null and i >= j
+                      then (select share from shared where i = j)
+                      else cap end / chars, {ROUND}) as epochs
+    from shared, jstar
+    """,
+)
+def unimax_alloc(spark, sf_dir):
+    """UniMax mixture allocation (Chung et al. 2023): split a training
+    character budget across sources so no source exceeds UNIMAX_EMAX
+    epochs — the closed-form waterfilling: sources sorted ascending by
+    cap take their full cap while cap <= (remaining budget)/(remaining
+    sources); from the first source j* where that fails, every remaining
+    source gets the equal share computed AT j* (caps ascend, so they all
+    exceed it).  Output per source: docs, chars, allocated chars, epochs.
+
+    Scale shape: one hash aggregate reduces the corpus to SOURCE-level
+    rows (domain-count sized at web scale — millions, not billions), and
+    the waterfilling is two window passes + a broadcast scalar over that
+    reduced table; the corpus stream is touched exactly once.  The
+    single-partition sort window over domain aggregates is the standard
+    allocation-planning shape (same class as dataset_split's manifest,
+    not a per-doc window)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        (F.sum("n_chars") * UNIMAX_EMAX).alias("cap"),
+    )
+    tot = src.agg(
+        (F.sum("chars") * UNIMAX_BFRAC).alias("budget"), F.count("*").alias("s")
+    )
+    w = Window.orderBy("cap", "source")
+    ranked = src.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)
+        ).alias("prefix"),
+    )
+    shared = ranked.withColumn(
+        "share", (F.col("budget") - F.col("prefix")) / (F.col("s") - F.col("i") + 1)
+    )
+    # one-row (j, jshare) scalar side; j/jshare are null when every source
+    # fits its cap inside the budget (no waterfilling threshold exists).
+    jrow = F.broadcast(
+        shared.select(
+            "i", "share", F.when(F.col("cap") > F.col("share"), F.col("i")).alias("ji")
+        )
+        .agg(F.min("ji").alias("j"))
+        .join(shared.select(F.col("i").alias("ij"), F.col("share").alias("jshare")),
+              F.col("j") == F.col("ij"), "left")
+        .select("j", "jshare")
+    )
+    alloc = F.when(
+        F.col("j").isNotNull() & (F.col("i") >= F.col("j")), F.col("jshare")
+    ).otherwise(F.col("cap"))
+    return shared.crossJoin(jrow).select(
+        "source",
+        "n_docs",
+        "chars",
+        F.round(alloc, ROUND).alias("alloc_chars"),
+        F.round(alloc / F.col("chars"), ROUND).alias("epochs"),
+    )
+
+
 # ----------------------------------------------------------- winnowing
 # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
 # the MOSS code-plagiarism kernel; public algorithm): hash every K-token
