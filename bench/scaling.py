@@ -144,6 +144,10 @@ def main() -> None:
         "--input-dir", default=None,
         help="reuse an already-materialized parquet input (must match --files)",
     )
+    ap.add_argument(
+        "--out", default=os.path.join(_REPO_ROOT, "BENCH_SCALING.json"),
+        help="artifact path (default: the round-gate BENCH_SCALING.json)",
+    )
     ap.add_argument("rest", nargs="*")
     args = ap.parse_args()
 
@@ -240,7 +244,7 @@ def main() -> None:
         "pass": bool(n_pass >= 3 or median_eff >= args.target),
     }
     print(json.dumps(out))
-    with open(os.path.join(_REPO_ROOT, "BENCH_SCALING.json"), "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
 
 

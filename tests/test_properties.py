@@ -85,3 +85,55 @@ def test_packed_argmin_order_matches_lexicographic(pairs):
     want = min(rounded)
     got = rounded[packed.index(min(packed))]
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=100, max_value=10_000_000), min_size=2, max_size=40),
+)
+def test_unimax_waterfilling_invariants(sizes):
+    """The closed-form UniMax allocation (corpusops.unimax_alloc oracle SQL,
+    run standalone on a crafted per-source table) must satisfy the
+    waterfilling invariants for ANY source-size distribution:
+      (1) no source exceeds its epoch cap,
+      (2) the budget is exhausted exactly when some source is budget-limited
+          (else every source sits at its cap),
+      (3) all budget-limited sources receive the same share, and that share
+          is >= every capped source's cap (caps ascend into the threshold).
+    This pins the closed form itself; engine parity at sf scale is
+    test_oracles' job."""
+    import duckdb
+
+    from kgforge.operators.corpusops import UNIMAX_BFRAC, UNIMAX_EMAX
+    from kgforge.operators.registry import ORACLES
+
+    con = duckdb.connect()
+    rows = ", ".join(f"({i}, 'src{i}', {n})" for i, n in enumerate(sizes))
+    con.sql(
+        "create view documents as "
+        f"select * from (values {rows}) as t(doc_id, source, n_chars)"
+    )
+    out = con.sql(ORACLES["unimax_alloc"]).df().sort_values("source")
+    caps = {f"src{i}": n * UNIMAX_EMAX for i, n in enumerate(sizes)}
+    budget = sum(sizes) * UNIMAX_BFRAC
+    eps = 1e-4 * max(budget, 1.0)
+    total_alloc = out["alloc_chars"].sum()
+    limited = []
+    for _, r in out.iterrows():
+        cap = caps[r["source"]]
+        assert r["alloc_chars"] <= cap + 1e-3, (r["source"], r["alloc_chars"], cap)
+        if r["alloc_chars"] < cap - 1e-3:
+            limited.append(r["alloc_chars"])
+    if limited:
+        # budget-limited sources split the remainder equally and exhaust it
+        assert abs(total_alloc - min(budget, sum(caps.values()))) <= eps
+        assert max(limited) - min(limited) <= 1e-3
+        capped_caps = [
+            caps[r["source"]]
+            for _, r in out.iterrows()
+            if r["alloc_chars"] >= caps[r["source"]] - 1e-3
+        ]
+        if capped_caps:
+            assert max(capped_caps) <= min(limited) + 1e-3
+    else:
+        # everyone at cap: the budget must cover the total cap
+        assert sum(caps.values()) <= budget + eps
