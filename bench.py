@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "token_entropy",
     "ccnet_ppl",
     "unimax_alloc",
+    "curation_verdict",
 ]
 
 PIPELINE_BENCH_FILES = 3000

@@ -24,6 +24,10 @@ pipeline runs between cleaning and packing:
   the filter CCNet runs with a Wikipedia KenLM, here with the
   corpus-internal reference slice so both engines derive the
   identical model from the same table.
+- ``curation_verdict`` — the gate itself: one keep/drop row per doc
+  with the first failing rule (length floor, repetition, entropy
+  floor, perplexity tail) as the reason; its oracle composes the
+  family oracles verbatim.
 
 Reference analog: the reference scores documents only by tf-idf/embedding
 relevance (/root/reference/search/tf_idf_search.py); corpus curation is
@@ -454,3 +458,78 @@ def ccnet_ppl(spark, sf_dir):
         .otherwise("tail")
     )
     return scored.select("doc_id", "n_bigrams", "avg_logprob", bucket.alias("ppl_bucket"))
+
+
+# -------------------------------------------------------- final verdict
+VERDICT_MIN_CHARS = 80  # ~p5 of the synth corpus; RefinedWeb-style floor
+VERDICT_MIN_ENTROPY = 2.45  # ~p5 unigram entropy: template/mash floor
+
+
+def _verdict_sql() -> str:
+    """Composition oracle: each family member's FULL registered oracle
+    runs as a subquery (their SQL is the single source of truth — no
+    re-derivation drift), joined on doc_id with the policy applied in
+    one outer select."""
+    from .registry import ORACLES
+
+    return f"""
+    with gop as (select * from ({ORACLES["gopher_repetition"]})),
+    ent as (select * from ({ORACLES["token_entropy"]})),
+    ppl as (select * from ({ORACLES["ccnet_ppl"]}))
+    select d.doc_id,
+           case
+             when d.n_chars < {VERDICT_MIN_CHARS} then 'too_short'
+             when gop.verdict <> 'ok' then 'repetition'
+             when ent.entropy < {VERDICT_MIN_ENTROPY} then 'low_entropy'
+             when coalesce(ppl.ppl_bucket, 'tail') = 'tail' then 'ppl_tail'
+             else 'ok'
+           end as reason,
+           (case
+             when d.n_chars < {VERDICT_MIN_CHARS} then 'too_short'
+             when gop.verdict <> 'ok' then 'repetition'
+             when ent.entropy < {VERDICT_MIN_ENTROPY} then 'low_entropy'
+             when coalesce(ppl.ppl_bucket, 'tail') = 'tail' then 'ppl_tail'
+             else 'ok'
+           end) = 'ok' as keep
+    from documents d
+    left join gop on gop.doc_id = d.doc_id
+    left join ent on ent.doc_id = d.doc_id
+    left join ppl on ppl.doc_id = d.doc_id
+    """
+
+
+@query("curation_verdict", oracle=_verdict_sql())
+def curation_verdict(spark, sf_dir):
+    """The corpus gate itself: one keep/drop verdict per document with the
+    FIRST failing rule as the reason, composing the family's signals in
+    documented priority order — length floor (RefinedWeb-style), Gopher
+    repetition, unigram-entropy floor, CCNet perplexity tail (CCNet
+    trains on head+middle).  Unscoreable docs (<2 tokens, no ppl row)
+    conservatively read as tail.
+
+    Scale shape: every input signal is already a doc-level table (one
+    corpus pass each, computed by the registered family queries whose
+    oracles this op's oracle composes verbatim), so the verdict is three
+    doc_id equi-joins over doc-count-sized sides plus one case
+    expression — AQE handles any doc_id skew, nothing here touches the
+    token stream again.  At 100 TB the signals are computed once,
+    materialized, and this gate is a metadata-only join."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    gop = gopher_repetition(spark, sf_dir).select("doc_id", "verdict")
+    ent = token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    ppl = ccnet_ppl(spark, sf_dir).select("doc_id", "ppl_bucket")
+    j = (
+        docs.join(gop, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("n_chars") < VERDICT_MIN_CHARS, "too_short")
+        .when(F.col("verdict") != "ok", "repetition")
+        .when(F.col("entropy") < VERDICT_MIN_ENTROPY, "low_entropy")
+        .when(F.coalesce(F.col("ppl_bucket"), F.lit("tail")) == "tail", "ppl_tail")
+        .otherwise("ok")
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )

@@ -301,7 +301,7 @@ def test_curation_plans_hash_agg_broadcast_only(plans):
     SortAggregate here means a struct/min-buffer snuck into an agg (the
     measured 4.3x SortAggregate trap), and a SortMergeJoin means a
     doc-level result join lost its broadcast at test scale."""
-    for name in ("gopher_repetition", "dsir_importance", "token_entropy", "ccnet_ppl"):
+    for name in ("gopher_repetition", "dsir_importance", "token_entropy", "ccnet_ppl", "curation_verdict"):
         p = plans(name)
         assert "SortAggregate" not in p, name
         assert "CartesianProduct" not in p, name
