@@ -1,7 +1,15 @@
 """Property-based tests (FIXTURES.md §6) — pure-Python kernels, no Spark."""
 
-from hypothesis import given
+from hypothesis import given, settings
 from hypothesis import strategies as st
+
+# The DuckDB-backed properties pay connection + SQL cost per example; the
+# host's vCPU-steal windows can push a single example past hypothesis's
+# default 200 ms deadline, which then passes on replay and is reported as
+# Flaky.  Wall-clock deadlines are meaningless on this host — disable them
+# for the whole module (example counts are the budget, not time).
+settings.register_profile("kgforge", deadline=None)
+settings.load_profile("kgforge")
 
 from kgforge.functions.spans import merge_spans
 from kgforge.oracle.twin import twin_canonical
