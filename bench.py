@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "ccnet_ppl",
     "unimax_alloc",
     "curation_verdict",
+    "segment_dedup",
 ]
 
 PIPELINE_BENCH_FILES = 3000

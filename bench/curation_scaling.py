@@ -161,6 +161,10 @@ def _signature(spark, name: str, df):
         sig_expr = "bit_xor(xxhash64(doc_id, round(entropy, 1)))"
     elif name == "ccnet_ppl":
         sig_expr = "bit_xor(xxhash64(doc_id, n_bigrams, round(avg_logprob, 1), ppl_bucket))"
+    elif name == "segment_dedup":
+        # fully deterministic across partitionings: integer counts and a
+        # rewrite string uniquely determined by (global dup set, doc order)
+        sig_expr = "bit_xor(xxhash64(doc_id, n_seg, n_kept, text_clean))"
     else:  # stage pseudo-kernels: already a one-row count
         row = df.first()
         return int(row[0]), 0

@@ -475,3 +475,132 @@ def winnow_near_dup_pairs(spark, sf_dir):
             F.round(F.col("shared").cast("double") / (F.col("sa") + F.col("sb") - F.col("shared")), ROUND).alias("fp_jaccard"),
         )
     )
+
+
+# --- segment-level dedup rewrite (CCNet / RefinedWeb line dedup) ---------
+#
+# Wenzek et al. 2020 (CCNet) dedupe web text at the *line* level before any
+# document-level pass; RefinedWeb/FineWeb keep the first occurrence of a
+# duplicated line and cut the rest.  The synthetic corpus has no newlines,
+# so the segmentation knob here is a fixed SEG_L-token chunking — on a real
+# corpus the only change is the splitter (split(text, '\n') instead of the
+# token chunker); everything downstream (global frequency, first-holder
+# keep, order-preserving reassembly) is segmentation-agnostic.
+
+SEG_L = 8  # tokens per segment (the "line" proxy for the newline-free corpus)
+
+
+@query(
+    "segment_dedup",
+    oracle=rf"""
+    with t as ({_SQL_TOKS}),
+    segs as (
+      select doc_id,
+             unnest(range(cast(ceil(len(ts) / {SEG_L}.0) as BIGINT))) as seg,
+             unnest(list_transform(range(cast(ceil(len(ts) / {SEG_L}.0) as BIGINT)),
+                                   i -> array_to_string(ts[i*{SEG_L}+1 : i*{SEG_L}+{SEG_L}], ' '))) as s
+      from t
+    ),
+    dup as (
+      select s, min(doc_id) as holder
+      from segs group by s having count(distinct doc_id) >= 2
+    ),
+    flagged as (
+      select segs.doc_id, segs.seg, segs.s,
+             (dup.s is null or segs.doc_id = dup.holder) as keep
+      from segs left join dup on segs.s = dup.s
+    ),
+    agg as (
+      select doc_id, count(*)::BIGINT as n_seg,
+             count(case when keep then 1 end)::BIGINT as n_kept,
+             coalesce(string_agg(case when keep then s end, ' ' order by seg), '') as text_clean
+      from flagged group by doc_id
+    )
+    select d.doc_id,
+           coalesce(a.n_seg, 0)::BIGINT as n_seg,
+           coalesce(a.n_kept, 0)::BIGINT as n_kept,
+           coalesce(a.text_clean, '') as text_clean,
+           round(case when coalesce(a.n_seg, 0) = 0 then 0.0
+                      else (a.n_seg - a.n_kept)::DOUBLE / a.n_seg end, {ROUND}) as drop_frac
+    from documents d left join agg a using (doc_id)
+    """,
+)
+def segment_dedup(spark, sf_dir):
+    """Corpus REWRITE by segment-level dedup: drop every occurrence of a
+    globally-duplicated SEG_L-token segment except the one in its
+    first-holder document (min doc_id), then reassemble each document's
+    surviving segments in order.  This is the line-level dedup step of
+    CCNet (Wenzek et al. 2020) / RefinedWeb with the first-occurrence
+    keep policy, over the fixed-chunk segmentation documented above.
+    Output: one verdict+rewrite row per document
+    (doc_id, n_seg, n_kept, text_clean, drop_frac).
+
+    Distinct from ``substring_dup_spans``: that op *detects* shared
+    sliding windows between document pairs; this one *rewrites* the
+    corpus against the global segment frequency table.
+
+    Plan shape (100 TB): segment build is a map-only transform+slice per
+    row — contiguous chunks, so each token lands in exactly ONE segment
+    and the HOF pass is O(tokens) total (the quadratic
+    re-evaluation trap of per-element slicing does not apply; the
+    sliding-window form in ``wins_df`` is the one that needs the frame
+    walk).  One explode, then: (1) hash-agg min(doc_id)/distinct-count
+    per xxhash64(segment) with map-side partial agg — the dup table that
+    survives the HAVING is the duplicated-segment set only, so AQE
+    broadcasts the join back on any realistic dup fraction; (2) one
+    doc_id-keyed reassembly agg (collect_list of kept (seg, s) structs,
+    sorted per group — bounded by document size, not corpus size).  The
+    corpus text stream is touched twice, both times map-local around a
+    doc_id shuffle; nothing corpus-sized rides the driver.  The oracle
+    groups by the raw segment STRING while Spark groups by xxhash64 —
+    an independent derivation the hashed grouping must reproduce.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = _ts(docs).where(F.size("ts") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size("ts") / F.lit(float(SEG_L))) - 1).cast("int"),
+                ),
+                lambda i: F.struct(
+                    i.alias("seg"),
+                    F.array_join(F.slice("ts", i * SEG_L + 1, SEG_L), " ").alias("s"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.seg").alias("seg"), F.col("x.s").alias("s"))
+    segs = tracked_cache(segs.withColumn("h", F.xxhash64("s")))
+    dup = (
+        segs.groupBy("h")
+        .agg(F.min("doc_id").alias("holder"), F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h", "holder")
+    )
+    flagged = segs.join(dup, "h", "left").withColumn(
+        "keep", F.col("holder").isNull() | (F.col("doc_id") == F.col("holder"))
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("keep"), F.struct("seg", "s")))),
+                lambda x: x["s"],
+            ),
+        ).alias("text_clean"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_seg", F.lit(0)).cast("long").alias("n_seg"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.round(
+            F.when(F.coalesce("n_seg", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                (F.col("n_seg") - F.col("n_kept")).cast("double") / F.col("n_seg")
+            ),
+            ROUND,
+        ).alias("drop_frac"),
+    )

@@ -314,3 +314,19 @@ def test_curation_plans_hash_agg_broadcast_only(plans):
     ccnet = plans("ccnet_ppl")
     assert "BroadcastHashJoin" in ccnet
     assert "SortMergeJoin" not in ccnet
+
+
+def test_segment_dedup_plan_shape(plans):
+    """segment_dedup (the CCNet line-dedup rewrite): the dup-segment
+    frequency table must come out of a HashAggregate with map-side
+    combine and ride a broadcast join back onto the segment stream —
+    never a SortMergeJoin (that would shuffle the whole corpus text by
+    segment hash twice).  The only ObjectHashAggregate is the doc-keyed
+    reassembly (collect_list is object-hash by nature, keyed and bounded
+    per document)."""
+    p = plans("segment_dedup")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortAggregate" not in p
+    assert "partial_min" in p  # map-side combine on the dup-frequency agg
+    assert "BroadcastHashJoin" in p
