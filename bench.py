@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "unimax_alloc",
     "curation_verdict",
     "segment_dedup",
+    "cms_counts",
+    "stratified_sample",
 ]
 
 PIPELINE_BENCH_FILES = 3000

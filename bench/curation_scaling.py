@@ -74,6 +74,8 @@ STAGE_KERNELS = (
     "stage_gram2_hash_agg",
     "stage_gram2_struct_agg",
     "stage_tok_agg",
+    "stage_seg_hash",
+    "stage_seg_rebuild",
 )
 
 
@@ -146,6 +148,47 @@ def _stage_df(spark, name: str, sf_dir: str):
             .groupBy("doc_id", "tok")
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+    if name in ("stage_seg_hash", "stage_seg_rebuild"):
+        # segment_dedup attribution: the fixed-width hash stream + dup
+        # agg leg vs the rewrite-output string-construction leg (the
+        # operator's contract — the clean corpus text itself — so its
+        # alloc cost is irreducible; at local[N] every byte of it is
+        # allocated in ONE shared heap).
+        from kgforge.operators.corpusops import SEG_L, _ts
+        from kgforge.operators.registry import table as _table
+
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        seg_base = _ts(docs).where(F.size("ts") > 0)
+        n_seg = (F.ceil(F.size("ts") / F.lit(float(SEG_L)))).cast("int")
+        if name == "stage_seg_hash":
+            segsh = seg_base.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_seg - 1),
+                        lambda i: F.xxhash64(
+                            F.array_join(F.slice("ts", i * SEG_L + 1, SEG_L), " ")
+                        ),
+                    )
+                ).alias("h"),
+            )
+            return (
+                segsh.groupBy("h")
+                .agg(F.min("doc_id").alias("holder"), F.count_distinct("doc_id").alias("n"))
+                .where(F.col("n") >= 2)
+                .agg(F.count(F.lit(1)).alias("n_dup"))
+            )
+        rebuilt = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(F.slice("ts", i * SEG_L + 1, SEG_L), " "),
+            ),
+        )
+        return seg_base.select("doc_id", rebuilt.alias("tc")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, tc))").alias("sig"),
         )
     raise ValueError(name)
 

@@ -539,68 +539,88 @@ def segment_dedup(spark, sf_dir):
     sliding windows between document pairs; this one *rewrites* the
     corpus against the global segment frequency table.
 
-    Plan shape (100 TB): segment build is a map-only transform+slice per
-    row — contiguous chunks, so each token lands in exactly ONE segment
-    and the HOF pass is O(tokens) total (the quadratic
-    re-evaluation trap of per-element slicing does not apply; the
-    sliding-window form in ``wins_df`` is the one that needs the frame
-    walk).  One explode, then: (1) hash-agg min(doc_id)/distinct-count
-    per xxhash64(segment) with map-side partial agg — the dup table that
-    survives the HAVING is the duplicated-segment set only, so AQE
-    broadcasts the join back on any realistic dup fraction; (2) one
-    doc_id-keyed reassembly agg (collect_list of kept (seg, s) structs,
-    sorted per group — bounded by document size, not corpus size).  The
-    corpus text stream is touched twice, both times map-local around a
-    doc_id shuffle; nothing corpus-sized rides the driver.  The oracle
-    groups by the raw segment STRING while Spark groups by xxhash64 —
-    an independent derivation the hashed grouping must reproduce.
+    Plan shape (100 TB): the segment TEXT never leaves its map stage.
+    The exploded stream carries only fixed-width (doc_id, seg,
+    xxhash64(segment)) rows — the segment string is hashed inside the
+    transform lambda and discarded (the curation-family lesson: string
+    streams through an exchange are the shared-heap wall; MEASURED at
+    300k docs, carrying strings + a segs cache ran 37.8 s / paired eff
+    0.23 at local[8] vs 16.5 s / 0.67 for this layout — the residual
+    sub-0.8 leg is the rewrite OUTPUT itself, corpus-sized string
+    construction in one shared heap, attributed per-stage in
+    BENCH_SCALING_SEGDEDUP_STAGES.json).  Then: (1)
+    hash-agg min(doc_id)/distinct-count per h with map-side partial agg
+    — the dup table that survives the HAVING is the duplicated-segment
+    set only, so AQE broadcasts the join back on any realistic dup
+    fraction; (2) only the DROPPED occurrences (doc != holder) — the
+    duplicated tail, a small fraction of any real corpus — reach the
+    doc-keyed collect_set(seg) agg of INTEGER indices; (3) one doc-level
+    join of that drop-list back onto documents, where a map-local
+    transform re-slices the token array and concat_ws skips the dropped
+    chunks (contiguous chunks, so each token lands in exactly ONE
+    segment and the HOF pass is O(tokens) total; the quadratic
+    re-evaluation trap of per-element slicing does not apply).  Nothing
+    corpus-sized is shuffled or rides the driver.  The oracle groups by
+    the raw segment STRING while Spark groups by xxhash64 — an
+    independent derivation the hashed grouping must reproduce.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    segs = _ts(docs).where(F.size("ts") > 0).select(
+    base = _ts(docs)  # (doc_id, ts) token arrays
+    n_seg_expr = F.when(
+        F.size("ts") > 0, F.ceil(F.size("ts") / F.lit(float(SEG_L))).cast("int")
+    ).otherwise(F.lit(0))
+    # fixed-width segment stream: the segment string exists only inside
+    # the lambda, as the xxhash64 argument
+    segsh = base.where(F.size("ts") > 0).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(0),
-                    (F.ceil(F.size("ts") / F.lit(float(SEG_L))) - 1).cast("int"),
-                ),
+                F.sequence(F.lit(0), n_seg_expr - 1),
                 lambda i: F.struct(
                     i.alias("seg"),
-                    F.array_join(F.slice("ts", i * SEG_L + 1, SEG_L), " ").alias("s"),
+                    F.xxhash64(F.array_join(F.slice("ts", i * SEG_L + 1, SEG_L), " ")).alias("h"),
                 ),
             )
         ).alias("x"),
-    ).select("doc_id", F.col("x.seg").alias("seg"), F.col("x.s").alias("s"))
-    segs = tracked_cache(segs.withColumn("h", F.xxhash64("s")))
+    ).select("doc_id", F.col("x.seg").alias("seg"), F.col("x.h").alias("h"))
     dup = (
-        segs.groupBy("h")
+        segsh.groupBy("h")
         .agg(F.min("doc_id").alias("holder"), F.count_distinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
         .select("h", "holder")
     )
-    flagged = segs.join(dup, "h", "left").withColumn(
-        "keep", F.col("holder").isNull() | (F.col("doc_id") == F.col("holder"))
+    dropped = (
+        segsh.join(dup, "h")
+        .where(F.col("doc_id") != F.col("holder"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("seg").alias("drop_segs"))
     )
-    agg = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_seg"),
-        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+    n_kept = (F.col("n_seg") - F.coalesce(F.size("drop_segs"), F.lit(0))).cast("long")
+    rebuilt = F.when(F.col("n_seg") == 0, F.lit("")).otherwise(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.when(F.col("keep"), F.struct("seg", "s")))),
-                lambda x: x["s"],
+                F.sequence(F.lit(0), F.greatest(F.col("n_seg"), F.lit(1)) - 1),
+                lambda i: F.when(
+                    F.coalesce(F.array_contains("drop_segs", i), F.lit(False)),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.array_join(F.slice("ts", i * SEG_L + 1, SEG_L), " ")),
             ),
-        ).alias("text_clean"),
+        )
     )
-    return docs.select("doc_id").join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_seg", F.lit(0)).cast("long").alias("n_seg"),
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        F.round(
-            F.when(F.coalesce("n_seg", F.lit(0)) == 0, F.lit(0.0)).otherwise(
-                (F.col("n_seg") - F.col("n_kept")).cast("double") / F.col("n_seg")
-            ),
-            ROUND,
-        ).alias("drop_frac"),
+    return (
+        base.withColumn("n_seg", n_seg_expr)
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_seg").cast("long").alias("n_seg"),
+            n_kept.alias("n_kept"),
+            rebuilt.alias("text_clean"),
+            F.round(
+                F.when(F.col("n_seg") == 0, F.lit(0.0)).otherwise(
+                    (F.col("n_seg") - n_kept).cast("double") / F.col("n_seg")
+                ),
+                ROUND,
+            ).alias("drop_frac"),
+        )
     )

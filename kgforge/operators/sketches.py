@@ -142,3 +142,121 @@ def kmv_distinct_merged(spark, sf_dir):
         F.round(F.lit((KMV_K - 1) * _HASH_SPACE) / F.col("hv"), ROUND)
     )
     return kth.select("n_exact", est.alias("est"))
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) ---------------------
+
+CMS_D = 4     # hash rows
+CMS_W = 128   # buckets per row
+CMS_PROBES = 32  # heavy items whose estimates the query surfaces
+
+# The sketched items are adjacent-token BIGRAMS, not unigrams: the
+# synthetic corpus has a ~31-token vocabulary, so only the ~900-item
+# bigram universe makes the sketch's defining behavior — bucket
+# collisions, est > exact, min-over-rows recovery — actually occur at
+# test scale (with unigrams every estimate would be trivially exact and
+# the min path dead code).  All CMS_D row-hashes come from ONE md5
+# digest: the 32 hex chars split into four disjoint 8-hex windows, each
+# a uniform 32-bit value — one crypto hash per occurrence, not CMS_D,
+# and byte-identical in both engines.
+_SQL_CMS_STREAM = r"""
+    select ts[i] || ' ' || ts[i + 1] as t, md5(ts[i] || ' ' || ts[i + 1]) as dig
+    from (
+      select list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') as ts
+      from documents
+    ), unnest(range(1, len(ts))) as u(i)
+"""
+
+
+@query(
+    "cms_counts",
+    oracle=f"""
+    with s as ({_SQL_CMS_STREAM}),
+    cells as (
+      select d, ('0x' || substr(dig, d * 8 + 1, 8))::BIGINT % {CMS_W} as bucket,
+             count(*)::BIGINT as c
+      from s, unnest(range({CMS_D})) as u(d)
+      group by 1, 2
+    ),
+    exact as (
+      select t, any_value(dig) as dig, count(*)::BIGINT as exact
+      from s group by t
+      order by exact desc, t limit {CMS_PROBES}
+    ),
+    probe as (
+      select t, exact, d,
+             ('0x' || substr(dig, d * 8 + 1, 8))::BIGINT % {CMS_W} as bucket
+      from exact, unnest(range({CMS_D})) as u(d)
+    )
+    select probe.t as tok, any_value(probe.exact) as exact,
+           min(cells.c)::BIGINT as est
+    from probe join cells using (d, bucket)
+    group by probe.t
+    """,
+)
+def cms_counts(spark, sf_dir):
+    """Count-Min sketch over the corpus bigram stream: a {d}x{w} counter
+    grid (one md5 per occurrence, {d} disjoint 8-hex windows as the row
+    hashes), probed for the {p} highest-frequency bigrams — exact count
+    alongside the estimate so the one-sided overestimate (est >= exact,
+    E[err] <= stream/w per row, min over rows) is visible in the output.
+
+    This is the third leg of the mergeable-sketch surface (KMV
+    cardinality, salted heavy-hitters, CMS frequency): at 100 TB the
+    grid build is the whole story — groupBy(d, bucket) has a FIXED
+    {d}*{w}-key space, so the map-side partial aggregate is a
+    constant-size array per task regardless of vocabulary size, the
+    exchange carries at most tasks*{d}*{w} rows, and grids from
+    disjoint corpus shards merge by cell-wise addition (same groupBy).
+    Contrast with the exact (t, count) word-count whose agg map grows
+    with |V|.  The probe side is {p} rows x {d} cells joined against a
+    broadcast 2048-row grid.  The oracle rebuilds the identical grid in
+    DuckDB from the same md5 windows — engine-portable by construction.
+    """.format(d=CMS_D, w=CMS_W, p=CMS_PROBES)
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "").alias("ts")
+    ).where(F.size("ts") >= 2)
+    # bigram built inline at the explode site (single consumer of the
+    # transform array — the measured-faster layout; see curation ops)
+    stream = base.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))")
+        ).alias("t")
+    ).select("t", F.md5("t").alias("dig"))
+
+    cell_pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(CMS_D - 1)),
+        lambda d: F.struct(
+            d.cast("long").alias("d"),
+            (F.conv(F.substring("dig", d * 8 + 1, 8), 16, 10).cast("long") % CMS_W).alias("bucket"),
+        ),
+    )
+    cells = (
+        stream.select(F.explode(cell_pairs).alias("x"))
+        .groupBy(F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        stream.groupBy("t")
+        .agg(F.any_value("dig").alias("dig"), F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), "t")
+        .limit(CMS_PROBES)
+    )
+    probe = exact.select(
+        "t", "exact",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(CMS_D - 1)),
+                lambda d: F.struct(
+                    d.cast("long").alias("d"),
+                    (F.conv(F.substring("dig", d * 8 + 1, 8), 16, 10).cast("long") % CMS_W).alias("bucket"),
+                ),
+            )
+        ).alias("x"),
+    ).select("t", "exact", F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy(F.col("t").alias("tok"))
+        .agg(F.any_value("exact").alias("exact"), F.min("c").cast("long").alias("est"))
+    )

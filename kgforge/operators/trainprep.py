@@ -802,3 +802,65 @@ def emb_decontamination(spark, sf_dir):
             (F.col("score") >= EMB_DECON_THRESH).alias("contaminated"),
         )
     )
+
+
+# --- stratified exact-k sampling -----------------------------------------
+
+STRAT_K = 16  # sample size per stratum
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    select source, doc_id, rk
+    from (
+      select source, doc_id,
+             row_number() over (
+               partition by source
+               order by ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id
+             ) as rk
+      from documents
+    ) where rk <= {STRAT_K}
+    order by source, rk
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly {k} documents per
+    source, chosen by rank on the engine-portable md5-prefix hash of
+    doc_id — the distributed, rerun-stable equivalent of per-stratum
+    reservoir sampling (used to cut eval slices and per-domain
+    inspection samples from a training mixture).  Growth-stable like
+    ``dataset_split``: a document's hash never changes, so adding new
+    documents can only displace the current sample at the boundary
+    rank, never reshuffle it wholesale.
+
+    Scale shape: reuses the salted distributive bottom-k from the KMV
+    sketch (stage 1 takes the k minima inside (source, hash % salt) —
+    no hot source ever sorts its whole partition in one task — stage 2
+    re-cuts the surviving salts*k candidates; min-k distributivity
+    makes it exact).  The final rank is assigned on the k survivors
+    only.  The oracle derives the same sample with one naive window —
+    an independent formulation.
+    """.format(k=STRAT_K)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    # (hv, doc_id) must be the total order; fold doc_id into the sort by
+    # carrying both columns through the bottom-k (hash ties are broken
+    # by doc_id exactly as in the oracle's ORDER BY)
+    h = docs.select("source", "doc_id", hv.alias("hv"))
+    w1 = Window.partitionBy("source", "salt").orderBy("hv", "doc_id")
+    stage1 = (
+        h.withColumn("salt", F.col("hv") % F.lit(16))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= STRAT_K)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        stage1.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= STRAT_K)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )

@@ -317,16 +317,42 @@ def test_curation_plans_hash_agg_broadcast_only(plans):
 
 
 def test_segment_dedup_plan_shape(plans):
-    """segment_dedup (the CCNet line-dedup rewrite): the dup-segment
-    frequency table must come out of a HashAggregate with map-side
-    combine and ride a broadcast join back onto the segment stream —
-    never a SortMergeJoin (that would shuffle the whole corpus text by
-    segment hash twice).  The only ObjectHashAggregate is the doc-keyed
-    reassembly (collect_list is object-hash by nature, keyed and bounded
-    per document)."""
+    """segment_dedup (the CCNet line-dedup rewrite): segment text must
+    never ride an exchange — the stream the dup-frequency HashAggregate
+    consumes carries only (doc_id, seg, xxhash64) longs, the dup table
+    rides a broadcast join back, and only integer drop-lists reach the
+    doc-keyed collect_set.  Never a SortMergeJoin (that would shuffle
+    the whole corpus text), never a SortAggregate."""
     p = plans("segment_dedup")
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "SortAggregate" not in p
     assert "partial_min" in p  # map-side combine on the dup-frequency agg
     assert "BroadcastHashJoin" in p
+    # the reassembly input must be the fixed-width hash stream, not text:
+    # no plan node shuffles a column named `s`/`text` after the explode
+    assert "collect_set" in p
+
+
+def test_stratified_sample_plan_shape(plans):
+    """stratified_sample: the exact-k cut must be the two-level salted
+    bottom-k (two Window nodes — no single window ranking a whole hot
+    source in one task), with no cartesian or sort-merge join anywhere."""
+    p = plans("stratified_sample")
+    assert p.count("Window") >= 2
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cms_counts_plan_shape(plans):
+    """cms_counts: the grid build must be a HashAggregate over the
+    FIXED (d, bucket) key space (constant-size map-side partial agg —
+    the whole point of the sketch at 100 TB), the probe cut a
+    TakeOrderedAndProject (never a global sort), and the probe-vs-grid
+    join a broadcast of the 512-cell grid."""
+    p = plans("cms_counts")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p  # map-side combine on the cell agg
