@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "segment_dedup",
     "cms_counts",
     "stratified_sample",
+    "bloom_prefilter",
 ]
 
 PIPELINE_BENCH_FILES = 3000

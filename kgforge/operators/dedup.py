@@ -904,3 +904,146 @@ def cc_incremental(spark, sf_dir):
         "cluster_rep",
         F.count(F.lit(1)).over(Window.partitionBy("cluster_rep")).alias("cluster_size"),
     )
+
+
+# --- Bloom pre-filter membership (Bloom 1970) -----------------------------
+#
+# At 100 TB the "have we seen this content before?" check cannot join the
+# new batch against the full historical digest set every ingest: the old
+# side is corpus-sized.  The production shape is a Bloom filter OVER the
+# history — constant-size regardless of history cardinality, mergeable by
+# bitwise OR, broadcastable to every executor — used as a map-side
+# pre-filter: batch rows whose k positions are not all set are PROVABLY
+# new (no false negatives) and skip the exact join entirely; only the
+# "maybe" tail pays the verify join.  BLOOM_M is deliberately small here
+# so false positives actually occur at test scale and the one-sided
+# guarantee (bloom_maybe >= exact_dup, never the reverse) is visible in
+# the output rather than vacuous.
+
+BLOOM_M = 8192   # filter bits (~3x the distinct-item count at test scale -> ~65% fill, ~28% per-item FP: errors visible, filter not saturated)
+BLOOM_K = 3      # hash probes per item (three disjoint md5 8-hex windows)
+BLOOM_SEG_L = 8  # tokens per membership item (segment_dedup's chunking)
+
+# The membership items are SEG_L-token segment digests, not whole-doc
+# digests: the synthetic corpus has no two identical documents, but its
+# segments DO recur across documents, so the exact side is non-empty and
+# the no-false-negative guarantee is tested non-vacuously.
+
+_SQL_BLOOM_SEGS = f"""
+    select doc_id,
+           md5(array_to_string(ts[i*{BLOOM_SEG_L}+1 : i*{BLOOM_SEG_L}+{BLOOM_SEG_L}], ' ')) as dig,
+           doc_id % {INCR_MOD} = 0 as is_new
+    from (
+      select doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'), t -> t <> '') as ts
+      from documents
+    ), unnest(range(cast(ceil(len(ts) / {BLOOM_SEG_L}.0) as BIGINT))) as u(i)
+"""
+
+
+@query(
+    "bloom_prefilter",
+    oracle=f"""
+    with items as ({_SQL_BLOOM_SEGS}),
+    pos as (
+      select distinct ('0x' || substr(dig, k * 8 + 1, 8))::BIGINT % {BLOOM_M} as p
+      from items, unnest(range({BLOOM_K})) as u(k)
+      where not is_new
+    ),
+    probe as (
+      select doc_id, dig,
+             ('0x' || substr(dig, k * 8 + 1, 8))::BIGINT % {BLOOM_M} as p
+      from items, unnest(range({BLOOM_K})) as u(k)
+      where is_new
+    ),
+    seg_maybe as (
+      select probe.doc_id, probe.dig,
+             count(pos.p) = {BLOOM_K} as maybe
+      from probe left join pos using (p)
+      group by probe.doc_id, probe.dig
+    ),
+    old_digs as (select distinct dig from items where not is_new),
+    seg_verdict as (
+      select s.doc_id, s.maybe, o.dig is not null as hit
+      from seg_maybe s left join old_digs o using (dig)
+    )
+    select doc_id,
+           count(*)::BIGINT as n_segs,
+           count(case when maybe then 1 end)::BIGINT as n_maybe,
+           count(case when hit then 1 end)::BIGINT as n_exact,
+           bool_or(maybe) as bloom_maybe,
+           bool_or(hit) as exact_overlap
+    from seg_verdict group by doc_id
+    """,
+)
+def bloom_prefilter(spark, sf_dir):
+    """Bloom-filter pre-filtered membership of a new batch against the
+    corpus history: the EXISTING corpus's {l}-token segment digests
+    populate a {m}-bit / {k}-hash Bloom filter (positions = three
+    disjoint md5 8-hex windows mod {m} — the same engine-portable digest
+    split as ``cms_counts``); each NEW-batch segment is flagged
+    ``maybe`` iff all {k} of its positions are set, rolled up per
+    document alongside the ground-truth exact overlap so the filter's
+    one-sided contract is visible per row: NO false negatives ever
+    (every exact hit is a maybe; n_maybe >= n_exact), false positives
+    bounded by the fill factor ({m} sized so they occur at test scale
+    without saturating the filter).
+
+    Scale shape: the filter is the DISTINCT position set — at most
+    {m} rows no matter how many billions of historical digests fed it,
+    built by one map-side-combinable hash agg over a map-only history
+    scan, mergeable across shards by set-union (bitwise OR in the
+    packed form), and broadcast to the probe side — the history is
+    never joined again.  In production the provably-new segments (any
+    missing position) skip the exact-verify join entirely, so the
+    verify cost is proportional to the maybe-tail, not the batch; here
+    both verdicts are emitted to exhibit the guarantee.  The oracle
+    rebuilds the identical filter in DuckDB.
+    """.format(m=BLOOM_M, k=BLOOM_K, l=BLOOM_SEG_L)
+    from .corpusops import _ts
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = _ts(docs).where(F.size("ts") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size("ts") / F.lit(float(BLOOM_SEG_L))) - 1).cast("int"),
+                ),
+                lambda i: F.md5(
+                    F.array_join(F.slice("ts", i * BLOOM_SEG_L + 1, BLOOM_SEG_L), " ")
+                ),
+            )
+        ).alias("dig"),
+        (F.col("doc_id") % INCR_MOD == 0).alias("is_new"),
+    )
+    pos_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda k: F.conv(F.substring("dig", k * 8 + 1, 8), 16, 10).cast("long") % BLOOM_M,
+    )
+    bloom = (
+        segs.where(~F.col("is_new"))
+        .select(F.explode(pos_expr).alias("p"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    seg_maybe = (
+        segs.where("is_new")
+        .select("doc_id", "dig", F.explode(pos_expr).alias("p"))
+        .join(F.broadcast(bloom), "p", "left")
+        .groupBy("doc_id", "dig")
+        .agg((F.count("hit") == BLOOM_K).alias("maybe"))
+    )
+    old_digs = (
+        segs.where(~F.col("is_new")).select("dig").distinct().withColumn("h", F.lit(True))
+    )
+    verdict = seg_maybe.join(old_digs, "dig", "left").withColumn(
+        "hit", F.col("h").isNotNull()
+    )
+    return verdict.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(F.when(F.col("maybe"), 1)).alias("n_maybe"),
+        F.count(F.when(F.col("hit"), 1)).alias("n_exact"),
+        F.bool_or("maybe").alias("bloom_maybe"),
+        F.bool_or("hit").alias("exact_overlap"),
+    )

@@ -344,6 +344,16 @@ def test_stratified_sample_plan_shape(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_bloom_prefilter_plan_shape(plans):
+    """bloom_prefilter: the position-set filter (<= BLOOM_M rows no
+    matter the history size) must ride broadcast joins onto the probe
+    side; the history is never sort-merge-joined or crossed."""
+    p = plans("bloom_prefilter")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_cms_counts_plan_shape(plans):
     """cms_counts: the grid build must be a HashAggregate over the
     FIXED (d, bucket) key space (constant-size map-side partial agg —
