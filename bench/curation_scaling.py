@@ -208,6 +208,10 @@ def _signature(spark, name: str, df):
         # fully deterministic across partitionings: integer counts and a
         # rewrite string uniquely determined by (global dup set, doc order)
         sig_expr = "bit_xor(xxhash64(doc_id, n_seg, n_kept, text_clean))"
+    elif name == "minhash_near_dup_pairs":
+        # pair set is exactly deterministic (band equality + exact verify);
+        # jaccard is one int/int division, rounded — no float-order term
+        sig_expr = "bit_xor(xxhash64(doc_a, doc_b, jaccard))"
     else:  # stage pseudo-kernels: already a one-row count
         row = df.first()
         return int(row[0]), 0

@@ -145,3 +145,106 @@ def test_unimax_waterfilling_invariants(sizes):
     else:
         # everyone at cap: the budget must cover the total cap
         assert sum(caps.values()) <= budget + eps
+
+
+_words_st = st.lists(
+    st.text("abcdefghij", min_size=1, max_size=3), min_size=0, max_size=40
+)
+
+
+def _docs_view(con, docs):
+    rows = ", ".join(f"({i}, '{' '.join(ws)}')" for i, ws in enumerate(docs))
+    con.sql(
+        "create view documents as "
+        f"select * from (values {rows}) as t(doc_id, text)"
+    )
+
+
+@given(st.lists(_words_st, min_size=1, max_size=10))
+def test_segment_dedup_rewrite_twin(docs):
+    """Full pure-Python differential for the segment_dedup oracle SQL:
+    for ANY corpus, the rewrite must equal the independently computed
+    first-holder-keep reassembly (duplicated SEG_L-token segments
+    survive only in their min-doc_id document; surviving segments are
+    rejoined in order).  Engine parity at sf scale is test_oracles' job;
+    this pins the SQL's semantics on arbitrary shapes (empty docs,
+    single-token docs, whole-corpus duplicates)."""
+    import duckdb
+
+    from kgforge.operators.corpusops import SEG_L
+    from kgforge.operators.registry import ORACLES
+
+    con = duckdb.connect()
+    _docs_view(con, docs)
+    out = {
+        int(r["doc_id"]): r
+        for _, r in con.sql(ORACLES["segment_dedup"]).df().iterrows()
+    }
+    segs = {
+        i: [" ".join(ws[j : j + SEG_L]) for j in range(0, len(ws), SEG_L)]
+        for i, ws in enumerate(docs)
+    }
+    holder: dict = {}
+    ndocs: dict = {}
+    for i, ss in segs.items():
+        for s in set(ss):
+            holder[s] = min(holder.get(s, i), i)
+            ndocs[s] = ndocs.get(s, 0) + 1
+    for i, ss in segs.items():
+        keep = [s for s in ss if ndocs[s] < 2 or holder[s] == i]
+        r = out[i]
+        assert int(r["n_seg"]) == len(ss)
+        assert int(r["n_kept"]) == len(keep)
+        assert r["text_clean"] == " ".join(keep)
+
+
+@given(st.lists(_words_st, min_size=1, max_size=10))
+def test_bloom_prefilter_twin(docs):
+    """Full pure-Python differential for the bloom_prefilter oracle SQL:
+    rebuild the position-set filter with hashlib and assert exact
+    equality of every count, plus the one-sided contract (n_exact <=
+    n_maybe <= n_segs: a Bloom filter never false-negatives)."""
+    import duckdb
+    import hashlib
+
+    from kgforge.operators.dedup import BLOOM_K, BLOOM_M, BLOOM_SEG_L, INCR_MOD
+    from kgforge.operators.registry import ORACLES
+
+    con = duckdb.connect()
+    _docs_view(con, docs)
+    got = con.sql(ORACLES["bloom_prefilter"]).df()
+
+    def digs(ws):
+        return {
+            hashlib.md5(
+                " ".join(ws[j : j + BLOOM_SEG_L]).encode()
+            ).hexdigest()
+            for j in range(0, len(ws), BLOOM_SEG_L)
+        }
+
+    def positions(dig):
+        return {int(dig[8 * k : 8 * k + 8], 16) % BLOOM_M for k in range(BLOOM_K)}
+
+    old_digs: set = set()
+    filt: set = set()
+    for i, ws in enumerate(docs):
+        if i % INCR_MOD != 0 and ws:
+            for d in digs(ws):
+                old_digs.add(d)
+                filt |= positions(d)
+    want = {}
+    for i, ws in enumerate(docs):
+        if i % INCR_MOD == 0 and ws:
+            ds = digs(ws)
+            n_maybe = sum(1 for d in ds if positions(d) <= filt)
+            n_exact = sum(1 for d in ds if d in old_digs)
+            want[i] = (len(ds), n_maybe, n_exact)
+    assert set(got["doc_id"].astype(int)) == set(want)
+    for _, r in got.iterrows():
+        n_segs, n_maybe, n_exact = want[int(r["doc_id"])]
+        assert int(r["n_segs"]) == n_segs
+        assert int(r["n_maybe"]) == n_maybe
+        assert int(r["n_exact"]) == n_exact
+        assert n_exact <= n_maybe <= n_segs
+        assert bool(r["bloom_maybe"]) == (n_maybe > 0)
+        assert bool(r["exact_overlap"]) == (n_exact > 0)
