@@ -76,6 +76,10 @@ STAGE_KERNELS = (
     "stage_tok_agg",
     "stage_seg_hash",
     "stage_seg_rebuild",
+    "stage_mh_shingle",
+    "stage_mh_sigs",
+    "stage_mh_sha",
+    "stage_mh_cand",
 )
 
 
@@ -179,6 +183,66 @@ def _stage_df(spark, name: str, sf_dir: str):
                 .where(F.col("n") >= 2)
                 .agg(F.count(F.lit(1)).alias("n_dup"))
             )
+    if name == "stage_mh_sha":
+        # sha256 variant of the signature build: ONE sha2(s, 256) per
+        # shingle yields 64 hex chars = all 8 independent 32-bit slices —
+        # versus 2 md5 + 2 concat allocations per shingle in the md5
+        # grouping.  Same slice-of-one-crypto-output independence argument
+        # the md5 groups already rely on; DuckDB sha256() matches.
+        from kgforge.operators.dedup import _shingles_df
+
+        sh = _shingles_df(spark, sf_dir)
+        hashed = sh.select(
+            "doc_id", F.transform("sh", lambda s: F.sha2(s, 256)).alias("hx")
+        )
+        mins = [
+            F.array_min(
+                F.transform("hx", (lambda off: lambda x: F.substring(x, off, 8))(8 * i + 1))
+            ).alias(f"mh{i}")
+            for i in range(8)
+        ]
+        return hashed.select("doc_id", *mins).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7))").alias("sig"),
+        )
+    if name in ("stage_mh_shingle", "stage_mh_sigs", "stage_mh_cand"):
+        # minhash_near_dup_pairs attribution (cumulative legs, kcore
+        # playbook): shingle = the map-only 3-gram string stream;
+        # sigs = + the per-shingle md5 minhash reduction (the crypto and
+        # hex-slice alloc leg); cand = + signature cache fill, banded
+        # self-join and candidate distinct.  Differences between the
+        # cumulative walls attribute each leg.
+        from kgforge.cachectl import tracked_cache as _tc
+        from kgforge.operators.dedup import (
+            _bands_df,
+            _md5_groups,
+            _minhash_cols,
+            _shingles_df,
+        )
+
+        sh = _shingles_df(spark, sf_dir)
+        if name == "stage_mh_shingle":
+            return sh.agg(F.sum(F.size("sh")).alias("n_shingles"))
+        sigs = _md5_groups(sh).select("doc_id", *_minhash_cols())
+        if name == "stage_mh_sigs":
+            return sigs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(
+                    "bit_xor(xxhash64(mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7))"
+                ).alias("sig"),
+            )
+        sigs = _tc(sigs)
+        bands = _bands_df(sigs)
+        left = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        right = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+        return (
+            left.join(right, ["band", "sig"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_cand"))
+        )
+    if name == "stage_seg_rebuild":
         rebuilt = F.concat_ws(
             " ",
             F.transform(

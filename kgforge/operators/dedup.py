@@ -52,8 +52,7 @@ def _tokens():
     return F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda t: t != "")
 
 
-def _shingles_df(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+def _shingles_of(docs):
     # The token array MUST be materialized through a projection boundary
     # before the shingle transform references it: inlined, Catalyst
     # duplicates the split+filter expression into every element_at, i.e.
@@ -73,6 +72,10 @@ def _shingles_df(spark, sf_dir):
         docs.select("doc_id", _tokens().alias("ts"))
         .select("doc_id", F.array_distinct(sh).alias("sh"))
     )
+
+
+def _shingles_df(spark, sf_dir):
+    return _shingles_of(table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -147,6 +150,44 @@ def minhash_signatures(spark, sf_dir):
     return _md5_groups(_shingles_df(spark, sf_dir)).select(F.col("doc_id"), *_minhash_cols())
 
 
+def _bands_df(sigs):
+    """(doc_id, band, sig) rows in ONE pass over the signature table —
+    posexplode of the band array instead of an MH_BANDS-way union (each
+    union leg would re-read the signature source once per band)."""
+    band_sigs = F.array(
+        *[F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}") for b in range(MH_BANDS)]
+    )
+    return sigs.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+
+
+def _verify_pairs(cand, docs, a_col, b_col):
+    """Exact-Jaccard verification of LSH candidate pairs, sized to the
+    CANDIDATE set, never the corpus: the candidate doc-id set semi-joins
+    the documents scan before any tokenization, so shingle arrays are
+    rebuilt only for docs that appear in some candidate pair.  ``cand``
+    must already be cached (it is read three times: two id projections
+    and the final pair join).  The semi-join's build side is the
+    candidate id set — corpus-size-independent, and AQE converts it to a
+    broadcast at runtime when it fits."""
+    ids = (
+        cand.select(F.col(a_col).alias("doc_id"))
+        .unionByName(cand.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    shc = tracked_cache(_shingles_of(docs.join(ids, "doc_id", "semi")))
+    x = shc.select(F.col("doc_id").alias(a_col), F.col("sh").alias("sh_a"))
+    y = shc.select(F.col("doc_id").alias(b_col), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(x, a_col)
+        .join(y, b_col)
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(a_col, b_col, F.round(jac, ROUND).alias("jaccard"))
+    )
+
+
 _SQL_BANDS = " union all ".join(
     f"select doc_id, {b} as band, mh{2*b} || '|' || mh{2*b+1} as sig from sigs"
     for b in range(MH_BANDS)
@@ -177,36 +218,30 @@ def minhash_near_dup_pairs(spark, sf_dir):
     """MinHash LSH near-dup detection: banded bucket self-join proposes
     candidates, exact shingle Jaccard verifies (so precision is 1.0 and
     recall is the banding probability — same verify-after-block shape as
-    stages/link.py)."""
-    sh = tracked_cache(_shingles_df(spark, sf_dir))
-    sigs = _md5_groups(sh).select("doc_id", *_minhash_cols())
-    bands = None
-    for b in range(MH_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}").alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    stages/link.py).
+
+    Layout (round 4): the ONLY cached tables are the tiny signature table
+    (doc_id + 8 hex8 minhashes) and the candidate pair set.  The earlier
+    layout cached the corpus-sized shingle-string arrays for the verify
+    join; building that cache is tens of millions of short-lived strings
+    columnar-compressed through one shared heap — the same DRAM/GC wall
+    measured on the curation gram stage (scaling eff 0.652 at 2->8 cores,
+    BENCH_SCALING_MINHASH.json).  Now the md5 pass streams straight off
+    the parquet scan and verification recomputes shingles only for docs
+    named in a candidate pair (_verify_pairs semi-join)."""
+    sigs = tracked_cache(
+        _md5_groups(_shingles_df(spark, sf_dir)).select("doc_id", *_minhash_cols())
+    )
+    bands = _bands_df(sigs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    cand = (
+    cand = tracked_cache(
         left.join(right, ["band", "sig"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, ROUND).alias("jaccard"))
-    )
+    return _verify_pairs(cand, table(spark, sf_dir, "documents"), "doc_a", "doc_b")
 
 
 # Incremental split: doc_id % INCR_MOD == 0 simulates "the newly arrived
@@ -243,32 +278,21 @@ def minhash_incremental(spark, sf_dir):
     the shape a daily training-data ingest runs, where the old side is a
     persisted index and only the new partition is shingled.  Same
     verify-after-block structure as minhash_near_dup_pairs, so precision
-    stays 1.0 and cost is proportional to the new batch."""
-    sh = tracked_cache(_shingles_df(spark, sf_dir))
-    sigs = _md5_groups(sh).select("doc_id", *_minhash_cols())
-    bands = None
-    for b in range(MH_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}").alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    stays 1.0 and cost is proportional to the new batch.  Same no-corpus-
+    cache layout as minhash_near_dup_pairs (signatures + candidates are
+    the only cached tables; verify recomputes shingles for candidate docs
+    only)."""
+    sigs = tracked_cache(
+        _md5_groups(_shingles_df(spark, sf_dir)).select("doc_id", *_minhash_cols())
+    )
+    bands = _bands_df(sigs)
     is_new = F.col("doc_id") % INCR_MOD == 0
     newb = bands.where(is_new).select(F.col("doc_id").alias("new_doc"), "band", "sig")
     oldb = bands.where(~is_new).select(F.col("doc_id").alias("dup_of"), "band", "sig")
-    cand = newb.join(oldb, ["band", "sig"]).select("new_doc", "dup_of").distinct()
-    x = sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    cand = tracked_cache(
+        newb.join(oldb, ["band", "sig"]).select("new_doc", "dup_of").distinct()
     )
-    return (
-        cand.join(x, "new_doc")
-        .join(y, "dup_of")
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("new_doc", "dup_of", F.round(jac, ROUND).alias("jaccard"))
-    )
+    return _verify_pairs(cand, table(spark, sf_dir, "documents"), "new_doc", "dup_of")
 
 
 def _simhash_spark():
