@@ -80,6 +80,9 @@ STAGE_KERNELS = (
     "stage_mh_sigs",
     "stage_mh_sha",
     "stage_mh_cand",
+    "stage_mhf_shash",
+    "stage_mhf_sigs",
+    "stage_mhf_cand",
 )
 
 
@@ -242,6 +245,41 @@ def _stage_df(spark, name: str, sf_dir: str):
             .distinct()
             .agg(F.count(F.lit(1)).alias("n_cand"))
         )
+    if name in ("stage_mhf_shash", "stage_mhf_sigs", "stage_mhf_cand"):
+        # minhash_near_dup_pairs_fast attribution (cumulative legs):
+        # shash = tokenizer + in-lambda xxhash64 shingle stream +
+        # array_distinct (map-only, fixed-width longs out); sigs = + the
+        # 8 seed-derivation min passes; cand = + signature cache fill,
+        # banded (band, s1, s2) self-join and candidate distinct.
+        from kgforge.cachectl import tracked_cache as _tc
+        from kgforge.operators.dedup import (
+            _fast_bands,
+            _fast_minhash_cols,
+            _hashed_shingles_of,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hs = _hashed_shingles_of(docs)
+        if name == "stage_mhf_shash":
+            return hs.agg(F.sum(F.size("bh")).alias("n_shingles"))
+        sigs = hs.select("doc_id", *_fast_minhash_cols())
+        if name == "stage_mhf_sigs":
+            return sigs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(
+                    "bit_xor(xxhash64(mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7))"
+                ).alias("sig"),
+            )
+        bands = _fast_bands(_tc(sigs))
+        left = bands.select(F.col("doc_id").alias("doc_a"), "band", "s1", "s2")
+        right = bands.select(F.col("doc_id").alias("doc_b"), "band", "s1", "s2")
+        return (
+            left.join(right, ["band", "s1", "s2"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_cand"))
+        )
     if name == "stage_seg_rebuild":
         rebuilt = F.concat_ws(
             " ",
@@ -272,7 +310,7 @@ def _signature(spark, name: str, df):
         # fully deterministic across partitionings: integer counts and a
         # rewrite string uniquely determined by (global dup set, doc order)
         sig_expr = "bit_xor(xxhash64(doc_id, n_seg, n_kept, text_clean))"
-    elif name == "minhash_near_dup_pairs":
+    elif name in ("minhash_near_dup_pairs", "minhash_near_dup_pairs_fast"):
         # pair set is exactly deterministic (band equality + exact verify);
         # jaccard is one int/int division, rounded — no float-order term
         sig_expr = "bit_xor(xxhash64(doc_a, doc_b, jaccard))"

@@ -244,6 +244,156 @@ def minhash_near_dup_pairs(spark, sf_dir):
     return _verify_pairs(cand, table(spark, sf_dir, "documents"), "doc_a", "doc_b")
 
 
+# ------------------------------------------------ fixed-width minhash
+# The md5 kernel's measured scaling ceiling is its allocation stream, not
+# crypto or the exchange (BENCH_SCALING_MINHASH_STAGES.json: map-only
+# shingle strings 0.62, one-sha256-per-shingle a wash).  The production
+# variant below is the curation family's hash-gram fix applied to minhash:
+# the shingle never exists as a string — xxhash64 chains the three tokens
+# INSIDE the transform lambda, the 8 minhash functions derive from that
+# base long (xxhash64(base, g)), banding joins on raw (band, s1, s2) long
+# columns, and exact-Jaccard verification intersects base-hash sets.
+# Fixed-width longs end-to-end; the only strings read are the tokens
+# already materialized by the tokenizer.
+#
+# Correctness is NOT weakened to rows-only: a committed fixture of
+# per-shingle hash values, computed by the pure-Python XXH64 twin
+# (kgforge/oracle/xxh64.py — differentialed against the live Spark
+# expression every suite run), lets DuckDB replay signatures, banding,
+# and verification exactly (oracle/fixtures.py shingle_minhash_table;
+# drift-guarded in tests/test_twin_fixtures.py).  Set-Jaccard over base
+# hashes equals string-set Jaccard under injectivity on the fixture
+# domain, asserted at generation time and in the drift test.
+
+
+def _hashed_shingles_of(docs):
+    # same projection-boundary lesson as _shingles_of: ts must be
+    # materialized before the transform references it.
+    ts = F.col("ts")
+    bh = F.when(
+        F.size(ts) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 3),
+            lambda j: F.xxhash64(
+                F.element_at(ts, j + 1), F.element_at(ts, j + 2), F.element_at(ts, j + 3)
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", ts))))
+    return (
+        docs.select("doc_id", _tokens().alias("ts"))
+        .select("doc_id", F.array_distinct(bh).alias("bh"))
+    )
+
+
+def _fast_minhash_cols():
+    # bh is behind a projection boundary, so each of the 8 passes reads
+    # the in-row long array (no re-tokenization); per-seed derivation is
+    # one fixed-width hashLong round per element.
+    def _mh(g):
+        return F.array_min(F.transform("bh", lambda x: F.xxhash64(x, F.lit(g)))).alias(
+            f"mh{g}"
+        )
+
+    return [_mh(g) for g in range(MH_HASHES)]
+
+
+def _fast_bands(sigs):
+    arr = F.array(
+        *[
+            F.struct(F.col(f"mh{2*b}").alias("s1"), F.col(f"mh{2*b+1}").alias("s2"))
+            for b in range(MH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(arr).alias("band", "g")).select(
+        "doc_id", "band", F.col("g.s1").alias("s1"), F.col("g.s2").alias("s2")
+    )
+
+
+def _verify_pairs_hashed(cand, docs, a_col, b_col):
+    """_verify_pairs with base-hash sets instead of shingle strings: the
+    semi-join still bounds re-shingling to candidate docs, but the arrays
+    intersected are longs — no string allocation anywhere in the leg."""
+    ids = (
+        cand.select(F.col(a_col).alias("doc_id"))
+        .unionByName(cand.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    shc = tracked_cache(_hashed_shingles_of(docs.join(ids, "doc_id", "semi")))
+    x = shc.select(F.col("doc_id").alias(a_col), F.col("bh").alias("bh_a"))
+    y = shc.select(F.col("doc_id").alias(b_col), F.col("bh").alias("bh_b"))
+    jac = F.size(F.array_intersect("bh_a", "bh_b")).cast("double") / F.size(
+        F.array_union("bh_a", "bh_b")
+    )
+    return (
+        cand.join(x, a_col)
+        .join(y, b_col)
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(a_col, b_col, F.round(jac, ROUND).alias("jaccard"))
+    )
+
+
+def _sql_fast_minhash() -> str:
+    from ..oracle.fixtures import shingle_minhash_path
+
+    mh_mins = ", ".join(f"min(mh{g}) as mh{g}" for g in range(MH_HASHES))
+    bands = " union all ".join(
+        f"select doc_id, {b} as band, mh{2*b} as s1, mh{2*b+1} as s2 from sigs"
+        for b in range(MH_BANDS)
+    )
+    return f"""
+    with sh as ({_SQL_SHINGLES}),
+    ex as (select doc_id, unnest(sh) as s from sh),
+    hx as (select ex.doc_id, f.* from ex
+           join read_parquet('{shingle_minhash_path()}') f on f.sh = ex.s),
+    sigs as (select doc_id, {mh_mins} from hx group by doc_id),
+    bands as ({bands}),
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from bands a join bands b
+        on a.band = b.band and a.s1 = b.s1 and a.s2 = b.s2
+      where a.doc_id < b.doc_id
+    ),
+    sizes as (select doc_id, count(distinct s) as n from ex group by doc_id),
+    inter as (
+      select c.doc_a, c.doc_b, count(distinct xa.s) as ni
+      from cand c
+      join ex xa on xa.doc_id = c.doc_a
+      join ex xb on xb.doc_id = c.doc_b and xb.s = xa.s
+      group by 1, 2
+    )
+    select doc_a, doc_b,
+           round(ni::DOUBLE / (sa.n + sb.n - ni), {ROUND}) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = doc_a
+    join sizes sb on sb.doc_id = doc_b
+    where ni::DOUBLE / (sa.n + sb.n - ni) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("minhash_near_dup_pairs_fast", oracle=_sql_fast_minhash())
+def minhash_near_dup_pairs_fast(spark, sf_dir):
+    """MinHash LSH near-dup detection with fixed-width hash shingles: the
+    same verify-after-block semantics as minhash_near_dup_pairs (banded
+    bucket self-join proposes, exact set-Jaccard verifies, precision 1.0)
+    with xxhash64 longs carried end-to-end instead of shingle strings and
+    hex slices — the production kernel for the measured allocation wall
+    (BASELINE.md round 4).  Reference semantics: near-duplicate grouping
+    per /root/reference/experiments/uaz_documents_comparison.py:222-275's
+    document-set comparisons, re-expressed as banded LSH."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = tracked_cache(_hashed_shingles_of(docs).select("doc_id", *_fast_minhash_cols()))
+    bands = _fast_bands(sigs)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "s1", "s2")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "s1", "s2")
+    cand = tracked_cache(
+        left.join(right, ["band", "s1", "s2"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_pairs_hashed(cand, docs, "doc_a", "doc_b")
+
+
 # Incremental split: doc_id % INCR_MOD == 0 simulates "the newly arrived
 # batch"; the rest is the existing corpus (in production the new batch is
 # yesterday's partition and the corpus side is the persisted signature
@@ -293,6 +443,64 @@ def minhash_incremental(spark, sf_dir):
         newb.join(oldb, ["band", "sig"]).select("new_doc", "dup_of").distinct()
     )
     return _verify_pairs(cand, table(spark, sf_dir, "documents"), "new_doc", "dup_of")
+
+
+def _sql_fast_incremental() -> str:
+    from ..oracle.fixtures import shingle_minhash_path
+
+    mh_mins = ", ".join(f"min(mh{g}) as mh{g}" for g in range(MH_HASHES))
+    bands = " union all ".join(
+        f"select doc_id, {b} as band, mh{2*b} as s1, mh{2*b+1} as s2 from sigs"
+        for b in range(MH_BANDS)
+    )
+    return f"""
+    with sh as ({_SQL_SHINGLES}),
+    ex as (select doc_id, unnest(sh) as s from sh),
+    hx as (select ex.doc_id, f.* from ex
+           join read_parquet('{shingle_minhash_path()}') f on f.sh = ex.s),
+    sigs as (select doc_id, {mh_mins} from hx group by doc_id),
+    bands as ({bands}),
+    cand as (
+      select distinct a.doc_id as new_doc, b.doc_id as dup_of
+      from bands a join bands b
+        on a.band = b.band and a.s1 = b.s1 and a.s2 = b.s2
+      where a.doc_id % {INCR_MOD} = 0 and b.doc_id % {INCR_MOD} <> 0
+    ),
+    sizes as (select doc_id, count(distinct s) as n from ex group by doc_id),
+    inter as (
+      select c.new_doc, c.dup_of, count(distinct xa.s) as ni
+      from cand c
+      join ex xa on xa.doc_id = c.new_doc
+      join ex xb on xb.doc_id = c.dup_of and xb.s = xa.s
+      group by 1, 2
+    )
+    select new_doc, dup_of,
+           round(ni::DOUBLE / (sa.n + sb.n - ni), {ROUND}) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = new_doc
+    join sizes sb on sb.doc_id = dup_of
+    where ni::DOUBLE / (sa.n + sb.n - ni) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("minhash_incremental_fast", oracle=_sql_fast_incremental())
+def minhash_incremental_fast(spark, sf_dir):
+    """minhash_incremental with the fixed-width hash-shingle kernel: the
+    new batch probes the persisted banded index on raw (band, s1, s2)
+    long columns; verification intersects base-hash sets of candidate
+    docs only.  Identical semantics/valves to the md5 kernel; this is
+    the production daily-ingest path where the allocation savings repeat
+    per batch.  Oracle replays the same fixture-hash pipeline in SQL."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = tracked_cache(_hashed_shingles_of(docs).select("doc_id", *_fast_minhash_cols()))
+    bands = _fast_bands(sigs)
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    newb = bands.where(is_new).select(F.col("doc_id").alias("new_doc"), "band", "s1", "s2")
+    oldb = bands.where(~is_new).select(F.col("doc_id").alias("dup_of"), "band", "s1", "s2")
+    cand = tracked_cache(
+        newb.join(oldb, ["band", "s1", "s2"]).select("new_doc", "dup_of").distinct()
+    )
+    return _verify_pairs_hashed(cand, docs, "new_doc", "dup_of")
 
 
 def _simhash_spark():

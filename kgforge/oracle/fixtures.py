@@ -137,11 +137,69 @@ def word_sims_path() -> str:
     return os.path.join(FIXTURE_DIR, "word_sims.parquet")
 
 
+# ------------------------------------------- fixed-width minhash hashes
+# minhash_near_dup_pairs_fast (operators/dedup.py) carries shingles as
+# xxhash64 longs end-to-end (no shingle strings, no hex slices — the
+# measured allocation wall of the md5 kernel, BASELINE.md round 4), which
+# DuckDB cannot recompute.  The pure-Python XXH64 twin (oracle/xxh64.py,
+# differentialed against the live Spark expression in tests/test_xxh64.py)
+# precomputes per distinct shingle the base hash and the 8 seed-derived
+# minhash values for the UNION of the test-SF corpora; the DuckDB oracle
+# rebuilds shingle STRINGS relationally, joins this fixture for the hash
+# values, and replays banding + exact-Jaccard verification in SQL.
+# Superset-safe for the same reason word_sims is (inner join prunes).
+
+MINHASH_SEEDS = 8
+
+
+def _shingle_hashes(sh: str) -> tuple[int, ...]:
+    """base + 8 derived minhash values for one shingle-string fixture key.
+
+    Mirrors the Spark kernel exactly: a 3-token shingle is the CHAINED
+    xxhash64 of its three tokens (never concatenated); the degenerate
+    <3-token whole-doc shingle is the hash of the joined string (which is
+    what the kernel hashes for those docs).  Keying on the joined string
+    is unambiguous because tokens are \\W+-split (no spaces inside)."""
+    from .xxh64 import spark_xxhash64
+
+    toks = sh.split(" ") if sh else [""]
+    base = spark_xxhash64(*toks) if len(toks) == 3 else spark_xxhash64(sh)
+    return (base, *(spark_xxhash64(base, ("int", g)) for g in range(MINHASH_SEEDS)))
+
+
+def shingle_minhash_table(sf_dirs=WORD_SIMS_SF_DIRS) -> pd.DataFrame:
+    shingles: set[str] = set()
+    for d in sf_dirs:
+        for text in pd.read_parquet(
+            os.path.join(d, "documents.parquet"), columns=["text"]
+        )["text"]:
+            ts = [w for w in re.split(r"\W+", text.lower()) if w]
+            if len(ts) >= 3:
+                shingles.update(" ".join(ts[j : j + 3]) for j in range(len(ts) - 2))
+            else:
+                shingles.add(" ".join(ts))
+    rows = [(s, *_shingle_hashes(s)) for s in sorted(shingles)]
+    cols = ["sh", "base"] + [f"mh{g}" for g in range(MINHASH_SEEDS)]
+    pdf = pd.DataFrame(rows, columns=cols)
+    # the Spark kernel's set-Jaccard runs over base hashes while the oracle
+    # counts shingle strings: equality of the two requires injectivity on
+    # the fixture domain, asserted here and re-asserted by the drift test.
+    assert pdf["base"].nunique() == len(pdf), "xxhash64 collision in fixture domain"
+    return pdf
+
+
+def shingle_minhash_path() -> str:
+    return os.path.join(FIXTURE_DIR, "shingle_minhash.parquet")
+
+
 def generate(out_dir: str = FIXTURE_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for stage, pdf in twin_stage_tables().items():
         pdf.to_parquet(os.path.join(out_dir, f"twin_{stage}.parquet"), index=False)
     word_sims_table().to_parquet(os.path.join(out_dir, "word_sims.parquet"), index=False)
+    shingle_minhash_table().to_parquet(
+        os.path.join(out_dir, "shingle_minhash.parquet"), index=False
+    )
 
 
 if __name__ == "__main__":
@@ -149,3 +207,4 @@ if __name__ == "__main__":
     for s in STAGES:
         print(fixture_path(s), len(pd.read_parquet(fixture_path(s))))
     print(word_sims_path(), len(pd.read_parquet(word_sims_path())))
+    print(shingle_minhash_path(), len(pd.read_parquet(shingle_minhash_path())))

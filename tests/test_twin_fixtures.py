@@ -33,3 +33,16 @@ def test_committed_word_sims_matches_twin():
     pd.testing.assert_frame_equal(
         committed.reset_index(drop=True), fresh.reset_index(drop=True)
     )
+
+
+def test_committed_shingle_minhash_matches_twin():
+    """Regenerates the minhash-hash fixture from the XXH64 twin and pins
+    frame equality, plus the injectivity invariant that makes the
+    oracle's string-set Jaccard equal the kernel's base-hash Jaccard."""
+    committed = pd.read_parquet(fixtures.shingle_minhash_path())
+    fresh = fixtures.shingle_minhash_table()
+    pd.testing.assert_frame_equal(
+        committed.reset_index(drop=True), fresh.reset_index(drop=True)
+    )
+    assert committed["base"].nunique() == len(committed)
+    assert committed["sh"].nunique() == len(committed)
