@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "simhash",
     "simhash_near_dups",
     "minhash_near_dup_pairs",
+    "minhash_near_dup_pairs_fast",
     "ngram_jaccard_pairs",
     # near_dup_clusters / dedup_survivors are oracle-gated but NOT
     # benched: they force the
@@ -66,6 +67,7 @@ BENCH_QUERIES = [
     "mention_spans",
     "corpus_clean_stats",
     "minhash_incremental",
+    "minhash_incremental_fast",
     "concept_pagerank",
     "pipeline_triples",
     # round-3 additions: corpus composition + training prep + graph

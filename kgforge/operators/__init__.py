@@ -36,5 +36,6 @@ def load_all() -> None:
         jsonl_sources,
         multimodal,
         ontology,
+        enrichment,
         relational,
     )

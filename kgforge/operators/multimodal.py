@@ -153,3 +153,91 @@ def frame_sample(manifest: DataFrame, every_n: int = 10) -> DataFrame:
         "video decode requires a codec library not present in this container; "
         "implement run() with pyav/opencv and keep the mapInPandas contract"
     )
+
+
+# ------------------------------------------------- author blacklist (P11)
+# Reference: /root/reference/experiments/document_upload.py:157-173 —
+# is_blacklisted_author() drops PDF author strings that are absent or made
+# of tool words ('user', 'microsoft', 'office', 'adobe', 'acrobat', plus
+# the two-word entry 'utente di'), because those indicate no human author.
+# The reference check is `any(tok.strip() in blacklist for tok in
+# author.lower().split())` — i.e. per WHITESPACE TOKEN membership, which
+# means the multi-word entry 'utente di' can never match (a single token is
+# never 'utente di'); this kernel reproduces that behavior faithfully
+# rather than "fixing" it, so the emitted author sets agree with the
+# reference's.  The PDF metadata source itself is stubbed like the rest of
+# this module (no PDF libs in the container): a deterministic author string
+# is synthesized per doc with identical expressions in Spark and DuckDB,
+# exercising every branch (absent, single blacklisted token, mixed-case
+# tool pair, real name, real name + tool word).
+
+AUTHOR_BLACKLIST = ("user", "utente di", "microsoft", "office", "adobe", "acrobat")
+
+_AUTHOR_CASES = [
+    # doc_id % 6 -> synthesized raw author metadata
+    "''",                                     # 0: empty (absent author)
+    "'user'",                                 # 1: blacklisted token
+    "'Microsoft Office'",                     # 2: tool pair, mixed case
+    "concat('dr ', tok0)",                    # 3: real name
+    "'Adobe Acrobat 9.0'",                    # 4: tool + version
+    "concat(source, ' user')",                # 5: source id + tool word
+]
+
+
+def _author_sql_case(id_col: str = "doc_id") -> str:
+    whens = " ".join(
+        f"when {id_col} % 6 = {i} then {expr}" for i, expr in enumerate(_AUTHOR_CASES)
+    )
+    return f"case {whens} end"
+
+
+@query(
+    "mm_author_filter",
+    oracle=rf"""
+    with m as (
+      select doc_id,
+             {_author_sql_case()} as author
+      from (select doc_id, source,
+                   coalesce(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                        t -> t <> '')[1], '') as tok0
+            from documents)
+    )
+    select doc_id, author from m
+    where author <> ''
+      and len(list_filter(regexp_split_to_array(lower(author), '\s+'),
+              t -> list_contains({list(AUTHOR_BLACKLIST)}, trim(t)))) = 0
+    """,
+)
+def mm_author_filter(spark, sf_dir):
+    """P11: keep only docs whose (synthesized) author metadata survives the
+    reference's blacklist — author absent/empty is blacklisted, and so is
+    any author with a whitespace token in AUTHOR_BLACKLIST.  Pure
+    column-expression predicate (no UDF): lower -> split on \\s+ ->
+    F.exists membership against a literal array, exactly the pattern
+    SURVEY.md §2 names for this operator.  Scale note: a map-only filter —
+    no exchange, pushes nothing to the scan only because author is derived;
+    with a real metadata column the where-clause is parquet-pushable."""
+    docs = table(spark, sf_dir, "documents")
+    tok0 = F.coalesce(
+        F.element_at(F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != ""), 1),
+        F.lit(""),
+    )
+    base = docs.select("doc_id", "source", tok0.alias("tok0"))
+    author = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit(""))
+        .when(F.col("doc_id") % 6 == 1, F.lit("user"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("Microsoft Office"))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("dr "), F.col("tok0")))
+        .when(F.col("doc_id") % 6 == 4, F.lit("Adobe Acrobat 9.0"))
+        .otherwise(F.concat(F.col("source"), F.lit(" user")))
+    )
+    bl = F.array(*[F.lit(w) for w in AUTHOR_BLACKLIST])
+    m = base.select("doc_id", author.alias("author"))
+    # exact reference truth table: `if not author` (None/'' only — a
+    # whitespace-only author is truthy and its .split() is empty, so it
+    # SURVIVES in the reference; reproduced, not fixed), else any
+    # whitespace token in the blacklist.
+    blacklisted = (F.col("author") == "") | F.exists(
+        F.split(F.lower("author"), r"\s+"), lambda t: F.array_contains(bl, F.trim(t))
+    )
+    return m.where(~blacklisted).select("doc_id", "author")
