@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "kg_doc_triples",
     "word_search",
     "mention_spans",
+    "highlight_segments",
+    "ansi_highlight_render",
+    "numbered_list_parse",
+    "mm_author_filter",
+    "uaz_enrichment",
     "corpus_clean_stats",
     "minhash_incremental",
     "minhash_incremental_fast",

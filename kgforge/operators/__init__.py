@@ -37,5 +37,6 @@ def load_all() -> None:
         multimodal,
         ontology,
         enrichment,
+        genparse,
         relational,
     )

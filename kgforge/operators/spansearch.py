@@ -85,7 +85,7 @@ _SQL_TERM_VALUES = ", ".join(f"('{t}')" for t in SPAN_TERMS)
 # produces (see functions/spans.py:find_spans).  T4 in SQL:
 # gaps-and-islands — a new island starts when s exceeds the running max end
 # of preceding spans + 1; islands collapse to (min s, max e).
-_SQL_MENTION_SPANS = rf"""
+_SQL_MERGED_CTE = rf"""
 with hits as (
   select doc_id, s, s + length(term) as e
   from (
@@ -111,10 +111,16 @@ grp as (
   from brk
 ),
 merged as (select doc_id, min(s) as s, max(e) as e from grp group by doc_id, g)
+"""
+
+_SQL_MENTION_SPANS = (
+    _SQL_MERGED_CTE
+    + """
 select doc_id, count(*)::BIGINT as n_spans,
        string_agg(s || ':' || e, ';' order by s) as spans_csv
 from merged group by doc_id
 """
+)
 
 
 # The matched subword-piece set: every fixed-width piece of every query
@@ -240,3 +246,149 @@ def mention_spans(spark, sf_dir):
             ";",
         ).alias("spans_csv"),
     )
+
+
+# ------------------------------------------------- T8/T9: highlight render
+# T8 (/root/reference/experiments/search_highlight.py:43-67
+# spans_to_highlight_list): merged char spans -> alternating
+# plain/highlighted segments; a plain segment is emitted only when there is
+# a gap (start > last_end), the trailing remainder only when the last span
+# stops short of the text.  T9 (:185-238 terminal_highlight_print): wrap
+# each highlighted chunk in the ANSI color pair and concatenate — defaults
+# color='black' (30) on background='bright_white' (107), reset \033[0m.
+# Pure per-row column logic on top of doc_spans (T3+T4); the only exchange
+# is the doc_id equi-join back to the text column.
+
+ANSI_COLOR_BLACK = 30  # reference ansi_color_codes['black']
+ANSI_BG_BRIGHT_WHITE = 107  # reference ansi_background_codes['bright_white']
+_ESC = "\x1b"
+
+
+def _segments_col(text, spans):
+    """array<struct<text,highlight>> per the reference's alternating walk."""
+    # per span i (0-based): optional plain gap [prev_end, start) + the
+    # highlighted [start, end); prev_end = spans[i-1].end (element_at is
+    # 1-based, so element_at(spans, i) IS the previous span).
+    per_span = F.transform(
+        spans,
+        lambda sp, i: F.filter(
+            F.array(
+                F.struct(
+                    text.substr(
+                        F.when(i == 0, F.lit(0)).otherwise(F.element_at(spans, i)["end"]) + 1,
+                        sp["start"]
+                        - F.when(i == 0, F.lit(0)).otherwise(F.element_at(spans, i)["end"]),
+                    ).alias("text"),
+                    F.lit(False).alias("highlight"),
+                ),
+                F.struct(
+                    text.substr(sp["start"] + 1, sp["end"] - sp["start"]).alias("text"),
+                    F.lit(True).alias("highlight"),
+                ),
+            ),
+            lambda seg: seg["text"] != "",
+        ),
+    )
+    last_end = F.element_at(spans, -1)["end"]
+    tail = F.when(
+        last_end < F.length(text),
+        F.array(
+            F.struct(
+                text.substr(last_end + 1, F.length(text) - last_end).alias("text"),
+                F.lit(False).alias("highlight"),
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<text:string,highlight:boolean>>"))
+    return F.concat(F.flatten(per_span), tail)
+
+
+def _segments_df(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    ds = doc_spans(docs)
+    joined = ds.join(docs.select("doc_id", "text"), "doc_id")
+    return joined.select(
+        "doc_id", _segments_col(F.col("text"), F.col("spans")).alias("segs")
+    )
+
+
+_SQL_SEGMENTS_CTE = (
+    _SQL_MERGED_CTE
+    + """,
+seq as (
+  select m.doc_id, m.s, m.e, d.text,
+         coalesce(lag(m.e) over (partition by m.doc_id order by m.s), 0) as pe,
+         row_number() over (partition by m.doc_id order by m.s) as rn
+  from merged m join documents d on d.doc_id = m.doc_id
+),
+rawsegs as (
+  select doc_id, rn * 2 - 1 as ord, substr(text, pe + 1, s - pe) as seg_text,
+         false as highlight
+  from seq where s > pe
+  union all
+  select doc_id, rn * 2, substr(text, s + 1, e - s), true from seq
+  union all
+  select t.doc_id, t.max_rn * 2 + 1, substr(d.text, t.last_e + 1), false
+  from (select doc_id, max(e) as last_e, max(rn) as max_rn from seq group by doc_id) t
+  join documents d on d.doc_id = t.doc_id
+  where t.last_e < length(d.text)
+),
+segs as (
+  select doc_id,
+         row_number() over (partition by doc_id order by ord) as seg,
+         seg_text, highlight, ord
+  from rawsegs
+)
+"""
+)
+
+
+@query(
+    "highlight_segments",
+    oracle=_SQL_SEGMENTS_CTE
+    + """
+select doc_id, seg::BIGINT as seg, seg_text, highlight from segs
+""",
+)
+def highlight_segments(spark, sf_dir):
+    """T8: merged mention spans -> the alternating plain/highlighted
+    segment list, one row per segment with its list position."""
+    segs = _segments_df(spark, sf_dir)
+    return segs.select("doc_id", F.posexplode("segs").alias("pos", "seg_s")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("seg"),
+        F.col("seg_s.text").alias("seg_text"),
+        F.col("seg_s.highlight").alias("highlight"),
+    )
+
+
+@query(
+    "ansi_highlight_render",
+    oracle=_SQL_SEGMENTS_CTE
+    + f"""
+select doc_id,
+       string_agg(
+         case when highlight
+              then chr(27) || '[{ANSI_COLOR_BLACK};{ANSI_BG_BRIGHT_WHITE}m'
+                   || seg_text || chr(27) || '[0m'
+              else seg_text end,
+         '' order by ord) as rendered
+from segs group by doc_id
+""",
+)
+def ansi_highlight_render(spark, sf_dir):
+    """T9: the terminal render string — every highlighted chunk wrapped in
+    the reference's default ANSI pair (black on bright_white), reset after
+    each chunk, all segments concatenated in order."""
+    on = F.lit(f"{_ESC}[{ANSI_COLOR_BLACK};{ANSI_BG_BRIGHT_WHITE}m")
+    off = F.lit(f"{_ESC}[0m")
+    segs = _segments_df(spark, sf_dir)
+    rendered = F.array_join(
+        F.transform(
+            "segs",
+            lambda seg: F.when(
+                seg["highlight"], F.concat(on, seg["text"], off)
+            ).otherwise(seg["text"]),
+        ),
+        "",
+    )
+    return segs.select("doc_id", rendered.alias("rendered"))

@@ -53,3 +53,61 @@ def test_subword_query_runs(spark, sf_dir):
         for part in r["spans_csv"].split(";"):
             s, e = part.split(":")
             assert int(s) < int(e)
+
+
+def test_highlight_render_matches_reference_algorithm(spark, sf_dir):
+    """T8/T9 differential: the reference's spans_to_highlight_list and
+    terminal print wrapping (/root/reference/experiments/search_highlight.py
+    :43-67, :228-238), re-implemented verbatim, run over the same docs and
+    merged spans as the operators."""
+    from kgforge.operators import spansearch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = {r["doc_id"]: r["spans"] for r in spansearch.doc_spans(docs).collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+        if r["doc_id"] in ds
+    }
+
+    def ref_highlight_list(text, spans):  # verbatim :43-67
+        spans = sorted(spans, key=lambda x: x[0])
+        out, last_end = [], 0
+        for start, end in spans:
+            if start > last_end:
+                out.append({"text": text[last_end:start], "highlight": False})
+            out.append({"text": text[start:end], "highlight": True})
+            last_end = end
+        if last_end < len(text):
+            out.append({"text": text[last_end:], "highlight": False})
+        return out
+
+    expected_segs = {
+        d: ref_highlight_list(texts[d], [(sp["start"], sp["end"]) for sp in ds[d]])
+        for d in ds
+    }
+    got = {}
+    for r in (
+        spansearch.highlight_segments(spark, f"{sf_dir}").collect()
+    ):
+        got.setdefault(r["doc_id"], []).append(
+            (r["seg"], r["seg_text"], r["highlight"])
+        )
+    assert set(got) == set(expected_segs)
+    for d, exp in expected_segs.items():
+        ours = [(t, h) for _, t, h in sorted(got[d])]
+        assert ours == [(e["text"], e["highlight"]) for e in exp], d
+
+    # T9: the print-stream analog (color=black on bright_white, reset each
+    # chunk, trailing newline omitted — the operator returns the string)
+    def ref_render(segs):
+        return "".join(
+            f"\033[30;107m{s['text']}\033[0m" if s["highlight"] else s["text"]
+            for s in segs
+        )
+
+    rendered = {
+        r["doc_id"]: r["rendered"]
+        for r in spansearch.ansi_highlight_render(spark, f"{sf_dir}").collect()
+    }
+    assert rendered == {d: ref_render(e) for d, e in expected_segs.items()}
