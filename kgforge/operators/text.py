@@ -217,6 +217,109 @@ def doc_chunks(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------- P5: sentence chunker
+# The reference DECLARES this chunker and never implements it
+# (/root/reference/data/dart_papers.py:52-55: "split the document on
+# sentences (separated by periods)", raises NotImplementedError, with a
+# TODO about abbreviation periods).  This implements the declared contract
+# — split on '.', trim, drop empties (the same filter(len) rule its sibling
+# chunk_paragraphs applies to newlines), key-extended (doc_id -> (doc_id,
+# sent)) like every Corpus.chunk — and inherits the abbreviation TODO
+# as-is.  The synthetic corpus has no punctuation, so sentence-structured
+# prose is synthesized per doc in lockstep Spark/DuckDB expressions
+# (SENT_TOKENS-token sentences), with three variants covering the split
+# branches: no trailing period, trailing period, and a double period whose
+# empty sentence must be dropped.
+
+SENT_TOKENS = 8
+
+
+def _prose_expr():
+    ts = F.col("ts")
+    n_sent = F.ceil(F.size(ts) / F.lit(SENT_TOKENS)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), n_sent - 1),
+        lambda i: F.concat_ws(" ", F.slice(ts, i * SENT_TOKENS + 1, SENT_TOKENS)),
+    )
+    joined = F.array_join(sents, ". ")
+    v = F.col("doc_id") % 3
+    return (
+        F.when(v == 0, joined)
+        .when(v == 1, F.concat(joined, F.lit(".")))
+        .otherwise(
+            F.when(
+                F.size(sents) > 1,
+                F.concat(
+                    F.element_at(sents, 1),
+                    F.lit(".. "),
+                    F.array_join(F.slice(sents, 2, F.size(sents) - 1), ". "),
+                ),
+            ).otherwise(F.concat(joined, F.lit("..")))
+        )
+    )
+
+
+_SQL_PROSE = rf"""
+select doc_id,
+       case doc_id % 3
+         when 0 then joined
+         when 1 then joined || '.'
+         else case when n_sent > 1
+                   then sents[1] || '.. ' || array_to_string(sents[2:n_sent], '. ')
+                   else joined || '..' end
+       end as prose
+from (
+  select doc_id, sents, len(sents) as n_sent,
+         array_to_string(sents, '. ') as joined
+  from (
+    select doc_id,
+           list_transform(range(((len(ts) + {SENT_TOKENS} - 1) // {SENT_TOKENS})::BIGINT),
+                          i -> array_to_string(ts[i * {SENT_TOKENS} + 1 : (i + 1) * {SENT_TOKENS}], ' ')) as sents
+    from (select doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\W+'), t -> t <> '') as ts
+          from documents)
+    where len(ts) > 0
+  )
+)
+"""
+
+
+def chunk_sentences(prose_df):
+    """(doc_id, prose) -> (doc_id, sent, sentence): the declared P5 rule."""
+    sents = F.filter(
+        F.transform(F.split("prose", r"\."), lambda s: F.trim(s)), lambda s: s != ""
+    )
+    return prose_df.select("doc_id", F.posexplode(sents).alias("pos", "sentence")).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("sent"), "sentence"
+    )
+
+
+@query(
+    "doc_sentences",
+    oracle=rf"""
+    with prose as ({_SQL_PROSE}),
+    split as (
+      select doc_id,
+             list_filter(list_transform(string_split(prose, '.'), s -> trim(s)),
+                         s -> s <> '') as sents
+      from prose
+    )
+    select doc_id, j::INT as sent, sents[j] as sentence
+    from split, unnest(range(1, len(sents) + 1)) as r(j)
+    """,
+)
+def doc_sentences(spark, sf_dir):
+    """P5: the sentence chunker the reference declares but leaves
+    unimplemented — split on periods, trim, drop empties, key-extended."""
+    docs = table(spark, sf_dir, "documents")
+    prose = (
+        docs.select("doc_id", _tokens_col().alias("ts"))
+        .where(F.size("ts") > 0)
+        .select("doc_id", _prose_expr().alias("prose"))
+    )
+    return chunk_sentences(prose)
+
+
 @query(
     "lang_id",
     oracle=rf"""

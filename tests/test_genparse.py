@@ -47,3 +47,30 @@ def test_parser_matches_reference_algorithm(spark, sf_dir):
     # every doc yields at least one cause and at most 3 (take-while break)
     assert set(expected) == set(got)
     assert all(1 <= len(v) <= 3 for v in expected.values())
+
+
+def test_sentence_chunker_matches_declared_rule(spark):
+    """P5 differential: the declared reference rule ('split the document on
+    sentences (separated by periods)' + the sibling chunker's filter(len)
+    empty-drop, /root/reference/data/dart_papers.py:46-55) run in Python
+    over edge-case prose, vs the chunk_sentences operator."""
+    from kgforge.operators.text import chunk_sentences
+
+    cases = [
+        "a b. c d.",        # trailing period
+        "a b. c d",         # no trailing period
+        "a b.. c d",        # double period -> empty sentence dropped
+        "...",              # all empty
+        " padded .  s2 . ", # whitespace trim
+    ]
+    df = spark.createDataFrame(list(enumerate(cases)), "doc_id long, prose string")
+    got = {}
+    for r in chunk_sentences(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent"], r["sentence"]))
+    expected = {
+        i: [s.strip() for s in prose.split(".") if s.strip()]
+        for i, prose in enumerate(cases)
+    }
+    for i, exp in expected.items():
+        assert [s for _, s in sorted(got.get(i, []))] == exp, (i, got.get(i), exp)
+    assert 3 not in got  # the all-empty doc emits nothing
