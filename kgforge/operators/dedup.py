@@ -1182,14 +1182,19 @@ _SQL_BLOOM_SEGS = f"""
       where not is_new
     ),
     probe as (
-      select doc_id, dig,
+      select distinct doc_id, dig,
              ('0x' || substr(dig, k * 8 + 1, 8))::BIGINT % {BLOOM_M} as p
       from items, unnest(range({BLOOM_K})) as u(k)
       where is_new
     ),
+    -- membership = EVERY distinct position present.  The probe rows are
+    -- distinct (doc_id, dig, p): a doc repeating a segment, or a digest
+    -- whose k windows collide on one position, would otherwise inflate
+    -- the group's row count past a fixed '= k' and read as a false
+    -- NEGATIVE -- the one verdict a Bloom filter must never produce.
     seg_maybe as (
       select probe.doc_id, probe.dig,
-             count(pos.p) = {BLOOM_K} as maybe
+             count(pos.p) = count(*) as maybe
       from probe left join pos using (p)
       group by probe.doc_id, probe.dig
     ),
@@ -1259,12 +1264,20 @@ def bloom_prefilter(spark, sf_dir):
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # Distinct (doc_id, dig, p) before the probe, and require hits ==
+    # the group's OWN distinct-position count: a repeated segment within
+    # a doc (same dig twice) or a digest whose k windows collide on one
+    # position would otherwise overshoot a fixed '== BLOOM_K' test and
+    # flip a provable member to not-maybe — a false negative, the one
+    # verdict a Bloom filter must never produce (caught by the
+    # test_bloom_prefilter_twin hypothesis counterexample).
     seg_maybe = (
         segs.where("is_new")
         .select("doc_id", "dig", F.explode(pos_expr).alias("p"))
+        .distinct()
         .join(F.broadcast(bloom), "p", "left")
         .groupBy("doc_id", "dig")
-        .agg((F.count("hit") == BLOOM_K).alias("maybe"))
+        .agg((F.count("hit") == F.count(F.lit(1))).alias("maybe"))
     )
     old_digs = (
         segs.where(~F.col("is_new")).select("dig").distinct().withColumn("h", F.lit(True))

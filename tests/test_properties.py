@@ -1,6 +1,6 @@
 """Property-based tests (FIXTURES.md §6) — pure-Python kernels, no Spark."""
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 # The DuckDB-backed properties pay connection + SQL cost per example; the
@@ -199,6 +199,11 @@ def test_segment_dedup_rewrite_twin(docs):
 
 
 @given(st.lists(_words_st, min_size=1, max_size=10))
+# Regression pin: a doc whose two segments are IDENTICAL (same digest
+# twice) collapsed to one (doc_id, dig) group with 2k exploded position
+# rows, failing the old fixed 'hits == k' membership test -> false
+# negative (n_maybe < n_exact).  Found by hypothesis 2026-08-19.
+@example(docs=[["a"] * 16, ["a"] * 8])
 def test_bloom_prefilter_twin(docs):
     """Full pure-Python differential for the bloom_prefilter oracle SQL:
     rebuild the position-set filter with hashlib and assert exact
