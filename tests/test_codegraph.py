@@ -1,0 +1,94 @@
+"""Unit tests for the KG-consumer derivations (operators/codegraph.py) on
+hand-built triple graphs, plus the pred-partition-pruning plan assertion on
+the real materialized table.  (The full pipeline+oracle parity for the five
+registered kg_* queries runs in tests/test_oracles.py like every query.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kgforge.operators import codegraph
+
+TRIPLES_SCHEMA = "subj string, pred string, obj string, line int, score double"
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tiny_kg(spark):
+    # Two repos.  a.py defines f and calls g; b.py defines g and calls f;
+    # c.py (repo2) also defines f (cross-repo collision) and calls h
+    # (undefined anywhere).  a imports module 'b' (internal) and 'zlib'
+    # (external).
+    return _triples(
+        spark,
+        [
+            ("r1/a:src/a.py", "defines", "function:f", 1, 1.0),
+            ("r1/a:src/a.py", "calls", "function:g", 5, 1.0),
+            ("r1/a:src/a.py", "imports", "module:b", 1, 1.0),
+            ("r1/a:src/a.py", "imports", "module:zlib", 2, 1.0),
+            ("r1/b:src/b.py", "defines", "function:g", 1, 1.0),
+            ("r1/b:src/b.py", "calls", "function:f", 7, 1.0),
+            ("r2/c:src/c.py", "defines", "function:f", 3, 1.0),
+            ("r2/c:src/c.py", "calls", "function:h", 4, 1.0),
+            ("function:f_v2", "same_as", "function:f", None, 1.0),
+        ],
+    )
+
+
+def test_call_graph_resolves_to_every_definer(spark, tiny_kg):
+    got = {
+        (r.caller, r.callee): r.n_fns
+        for r in codegraph.call_graph(tiny_kg).collect()
+    }
+    # b calls f, which is defined in BOTH a.py and c.py -> two edges.
+    assert got == {
+        ("r1/a:src/a.py", "r1/b:src/b.py"): 1,
+        ("r1/b:src/b.py", "r1/a:src/a.py"): 1,
+        ("r1/b:src/b.py", "r2/c:src/c.py"): 1,
+    }
+
+
+def test_api_fanin_counts_and_zero_defs(spark, tiny_kg):
+    rows = codegraph.api_fanin(tiny_kg, k=10).collect()
+    by_obj = {r.obj: (r.n_callers, r.n_defs) for r in rows}
+    assert by_obj["function:f"] == (1, 2)  # defined twice (a.py, c.py)
+    assert by_obj["function:g"] == (1, 1)
+    assert by_obj["function:h"] == (1, 0)  # called, never defined
+    # deterministic order: n_callers desc then obj asc
+    assert [r.obj for r in rows] == ["function:f", "function:g", "function:h"]
+
+
+def test_unresolved_imports_anti_join(spark, tiny_kg):
+    got = {r.obj: (r.n_files, r.n_repos) for r in codegraph.unresolved_imports(tiny_kg).collect()}
+    # module:b is satisfied by r1/b:src/b.py (basename 'b'); zlib is not.
+    assert got == {"module:zlib": (1, 1)}
+
+
+def test_xrepo_dup_defs(spark, tiny_kg):
+    got = {r.obj: (r.n_repos, r.n_files) for r in codegraph.xrepo_dup_defs(tiny_kg).collect()}
+    assert got == {"function:f": (2, 2)}
+
+
+def test_resolution_coverage_row(spark, tiny_kg):
+    row = codegraph.resolution_coverage(tiny_kg).collect()[0]
+    assert (row.calls_total, row.calls_resolved) == (3, 2)  # h unresolved
+    assert (row.imports_total, row.imports_resolved) == (2, 1)
+    assert row.call_coverage == pytest.approx(2 / 3, abs=1e-4)
+
+
+def test_consumer_scan_prunes_pred_partitions(spark):
+    """The consumers read the checkpointed pred-partitioned triple table;
+    a pred filter must land in PartitionFilters (partition pruning), not a
+    post-scan Filter — the property that makes per-predicate consumers
+    cheap at 10^12 scale (SURVEY.md §4 N5)."""
+    t = codegraph.triples_table(spark)
+    plan = (
+        t.where(t.pred == "calls")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "pred" in pf and "calls" in pf
