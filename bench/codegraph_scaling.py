@@ -1,0 +1,317 @@
+"""Scaling evidence for the KG-CONSUMER kernels (operators/codegraph.py):
+call-graph resolution, API fan-in, unresolved-import census, cross-repo
+duplicate definitions — the queries a materialized triple graph exists
+to serve.
+
+Methodology is bench/scaling.py's, inherited verbatim: the same job runs
+at two parallelism levels (default local[2] vs local[8] — both inside
+this host's linear memory-bandwidth region) over the SAME
+pre-materialized triple parquet, each pair in fresh JVMs, paired
+back-to-back so host-steal windows hit both levels or neither; the gate
+statistic is the paired-series median efficiency per kernel.  Exact
+count + bit_xor(xxhash64(...)) checksums must be identical at both
+levels.
+
+INPUT SHAPE: the pipeline's own synthetic corpus draws its symbols from
+a FIXED 60-name pool, so at 10^5+ files every symbol is called and
+defined by thousands of files and the file-level call graph densifies
+toward all-pairs — a quadratic blowup no real corpus exhibits (symbol
+vocabularies GROW with corpora).  The benched triple table is therefore
+generated directly, engine-side and deterministically (spark.range +
+xxhash64 — no Python, no RNG), with the realistic invariants:
+  - symbol vocabulary V = 2x files (fan-out stays linear in corpus),
+  - call popularity is power-law (s = floor(V * u^4), density
+    ~ s^-0.75): the hottest symbol draws ~(1/V)^0.25 of ALL call edges —
+    exactly the skewed-join case AQE skew splitting exists for,
+  - defines ~ uniform (a symbol is defined in ~4 files),
+  - imports are half external-pool / half internal-module references so
+    the resolution census has both populations.
+Rows are deduplicated per (subj, pred, obj) at generation time to honor
+the triple-key invariant the consumers ride (materialize.py squash).
+
+Usage:
+    python bench/codegraph_scaling.py --files 300000 --repeats 5
+    python bench/codegraph_scaling.py --worker 8 TRIPLES_DIR --kernels call_graph
+
+Results -> BENCH_SCALING_CODEGRAPH.json, summarized in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+ALL_KERNELS = ["call_graph", "api_fanin", "unresolved_imports", "xrepo_dup_defs"]
+FANIN_K = 100
+
+N_DEFINES = 8
+N_CALLS = 12
+N_IMPORTS = 3
+EXT_MODULE_POOL = 200
+ZIPF_GAMMA = 4  # s = floor(V * u^gamma): density ~ s^(1/gamma - 1)
+
+
+def synth_triples(spark, files: int):
+    """Deterministic engine-side KG triple table with growing vocabulary
+    and power-law call skew (module docstring).  Pure column expressions
+    over spark.range — generation is embarrassingly parallel."""
+    from pyspark.sql import functions as F
+
+    V = 2 * files
+    base = spark.range(files).select(F.col("id").alias("i"))
+    subj = F.format_string(
+        "org%d/repo%d:src/f_%d.py",
+        (F.col("i") % 4).cast("int"),
+        F.pmod(F.xxhash64(F.col("i"), F.lit(7)), F.lit(50)).cast("int"),
+        F.col("i").cast("int"),
+    )
+
+    def _fn(sym):
+        return F.format_string("function:f%d", sym.cast("long"))
+
+    defines = base.select(
+        subj.alias("subj"),
+        F.lit("defines").alias("pred"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_DEFINES - 1)),
+                lambda j: _fn(F.pmod(F.xxhash64(F.col("i") * N_DEFINES + j, F.lit(1)), F.lit(V))),
+            )
+        ).alias("obj"),
+    )
+    # u in [0,1) from a 52-bit hash window; s = floor(V * u^gamma)
+    calls = base.select(
+        subj.alias("subj"),
+        F.lit("calls").alias("pred"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_CALLS - 1)),
+                lambda j: _fn(
+                    F.floor(
+                        F.lit(float(V))
+                        * F.pow(
+                            F.pmod(F.xxhash64(F.col("i"), j, F.lit(2)), F.lit(2**52))
+                            / F.lit(float(2**52)),
+                            F.lit(ZIPF_GAMMA),
+                        )
+                    )
+                ),
+            )
+        ).alias("obj"),
+    )
+    imports = base.select(
+        subj.alias("subj"),
+        F.lit("imports").alias("pred"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_IMPORTS - 1)),
+                lambda j: F.when(
+                    F.pmod(F.xxhash64(F.col("i"), j, F.lit(3)), F.lit(2)) == 0,
+                    F.format_string(
+                        "module:m%d",
+                        F.pmod(F.xxhash64(F.col("i"), j, F.lit(4)), F.lit(EXT_MODULE_POOL)).cast("long"),
+                    ),
+                ).otherwise(
+                    F.format_string(
+                        "module:f_%d",
+                        F.pmod(F.xxhash64(F.col("i"), j, F.lit(5)), F.lit(files)).cast("long"),
+                    )
+                ),
+            )
+        ).alias("obj"),
+    )
+    from pyspark.sql import functions as _F
+
+    return (
+        defines.unionByName(calls)
+        .unionByName(imports)
+        .dropDuplicates(["subj", "pred", "obj"])
+        .select("subj", "pred", "obj", _F.lit(1).alias("line"), _F.lit(1.0).alias("score"))
+    )
+
+
+def _checksum(df, cols):
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("sig"),
+    ).first()
+    return int(row["n"]), int(row["sig"] or 0)
+
+
+def _run_kernel(spark, name: str, triples):
+    from kgforge.operators import codegraph as CG
+
+    if name == "call_graph":
+        return _checksum(CG.call_graph(triples), ["caller", "callee", "n_fns"])
+    if name == "api_fanin":
+        return _checksum(CG.api_fanin(triples, k=FANIN_K), ["obj", "n_callers", "n_defs"])
+    if name == "unresolved_imports":
+        return _checksum(CG.unresolved_imports(triples), ["obj", "n_files", "n_repos"])
+    if name == "xrepo_dup_defs":
+        return _checksum(CG.xrepo_dup_defs(triples), ["obj", "n_repos", "n_files"])
+    raise ValueError(name)
+
+
+def worker(cpus: int, triples_dir: str, kernels: list[str]) -> None:
+    from kgforge.cachectl import release_caches
+    from kgforge.session import build_session
+
+    spark = build_session(f"kgforge-cgscale-{cpus}", master=f"local[{cpus}]")
+    triples = spark.read.parquet(triples_dir)
+    triples.count()  # scan metadata warm-up, excluded
+
+    result: dict = {"cpus": cpus, "kernels": {}}
+    for name in kernels:
+        # min-of-2 FULL runs: the first run inside a fresh JVM pays the
+        # per-query whole-stage-codegen JIT (~1-2 s, serial) — a constant
+        # that swamps the short kernels' ~4 s local[8] floors and reads as
+        # fake inefficiency.  Executors on a real cluster are long-lived,
+        # so the warm (second) run is the scaling property of the engine;
+        # a limit()-slice warm-up does NOT compile the full-input plan
+        # shapes (CollectLimit plans differently) and was measured
+        # insufficient (api_fanin 0.72 median under it vs ~1.0 warm).
+        walls = []
+        rows = sig = None
+        for _ in range(2):
+            t0 = time.time()
+            rows, sig = _run_kernel(spark, name, triples)
+            walls.append(round(time.time() - t0, 3))
+            release_caches()
+        result["kernels"][name] = {
+            "secs": min(walls), "walls": walls, "rows": rows, "sig": sig,
+        }
+    print(json.dumps(result))
+
+
+def _spawn(cpus: int, triples_dir: str, kernels: list[str], tmp_root, thread_env) -> dict:
+    log_path = tempfile.mktemp(prefix=f"kgcgscale{cpus}_", suffix=".log", dir=tmp_root)
+    cmd = [
+        sys.executable, __file__, "--worker", str(cpus), triples_dir,
+        "--kernels", ",".join(kernels),
+    ]
+    with open(log_path, "w") as log:
+        subprocess.run(cmd, stdout=log, stderr=subprocess.STDOUT, check=True,
+                       env={**os.environ, **thread_env})
+    with open(log_path) as log:
+        line = [ln for ln in log.read().splitlines() if ln.lstrip().startswith('{"cpus"')][-1]
+    return json.loads(line.lstrip())
+
+
+def materialize_triples(files: int, tmp_root) -> str:
+    from kgforge.session import build_session
+
+    spark = build_session("kgforge-cgscale-gen", master="local[32]")
+    triples_dir = tempfile.mkdtemp(prefix="kgcgscale_tri_", dir=tmp_root)
+    synth_triples(spark, files).write.mode("overwrite").parquet(triples_dir)
+    n = spark.read.parquet(triples_dir).count()
+    print(json.dumps({"setup": {"files": files, "triples": n, "dir": triples_dir}}), flush=True)
+    spark.stop()
+    return triples_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=300_000)
+    ap.add_argument("--cores", default="2,8")
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--target", type=float, default=0.8)
+    ap.add_argument("--kernels", default=",".join(ALL_KERNELS))
+    ap.add_argument("--triples-dir", default=None, help="reuse a materialized triple parquet")
+    ap.add_argument("--worker", type=int, default=0)
+    ap.add_argument("--out", default=os.path.join(_REPO_ROOT, "BENCH_SCALING_CODEGRAPH.json"))
+    ap.add_argument("rest", nargs="*")
+    args = ap.parse_args()
+    kernels = [k for k in args.kernels.split(",") if k]
+
+    if args.worker:
+        worker(args.worker, args.rest[0], kernels)
+        return
+
+    if os.path.isdir("/dev/shm") and "KGFORGE_LOCAL_DIR" not in os.environ:
+        base = tempfile.mkdtemp(prefix="kgcgscale_shm_", dir="/dev/shm")
+        os.environ["KGFORGE_LOCAL_DIR"] = os.path.join(base, "local")
+    tmp_base = os.environ.get("KGFORGE_LOCAL_DIR")
+    tmp_root = os.path.dirname(tmp_base) if tmp_base else None
+
+    triples_dir = args.triples_dir or materialize_triples(args.files, tmp_root)
+
+    lo, hi = (int(c) for c in args.cores.split(","))
+    ratio = hi / lo
+    thread_env = {
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+        "ARROW_NUM_THREADS": "1",
+    }
+
+    series = []
+    for rep in range(args.repeats):
+        got_lo = _spawn(lo, triples_dir, kernels, tmp_root, thread_env)
+        got_hi = _spawn(hi, triples_dir, kernels, tmp_root, thread_env)
+        pair: dict = {}
+        for k in kernels:
+            a, b = got_lo["kernels"][k], got_hi["kernels"][k]
+            assert a["rows"] == b["rows"] and a["sig"] == b["sig"], (
+                f"nondeterministic {k}: {a} vs {b}"
+            )
+            pair[k] = {
+                f"local{lo}_secs": a["secs"],
+                f"local{hi}_secs": b["secs"],
+                "rows": a["rows"],
+                "eff": round((a["secs"] / b["secs"]) / ratio, 3),
+            }
+        series.append(pair)
+        print(json.dumps({"pair": rep + 1, **pair}), flush=True)
+
+    summary = {}
+    for k in kernels:
+        effs = [p[k]["eff"] for p in series]
+        summary[k] = {
+            "median_eff": round(statistics.median(effs), 3),
+            "windows_passing": sum(1 for e in effs if e >= args.target),
+            "best_eff": max(effs),
+            f"local{lo}_min_secs": min(p[k][f"local{lo}_secs"] for p in series),
+            f"local{hi}_min_secs": min(p[k][f"local{hi}_secs"] for p in series),
+        }
+
+    out = {
+        "files": args.files,
+        "cores": [lo, hi],
+        "kernels": kernels,
+        "generator": {
+            "vocab": 2 * args.files,
+            "defines_per_file": N_DEFINES,
+            "calls_per_file": N_CALLS,
+            "imports_per_file": N_IMPORTS,
+            "zipf_gamma": ZIPF_GAMMA,
+        },
+        "method": (
+            f"{args.repeats} PAIRED fresh-JVM invocations per level over one "
+            "pre-materialized synthetic triple parquet (growing vocabulary, "
+            "power-law call skew); per-kernel min-of-2 full runs in the "
+            "live JVM (long-lived-executor regime: run 1 pays the serial "
+            "whole-stage-codegen JIT, run 2 is the engine); "
+            "exact count+bit_xor(xxhash64) checksums identical at both levels"
+        ),
+        "pairs": series,
+        "summary": summary,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
