@@ -233,6 +233,74 @@ def xrepo_dup_defs(triples: DataFrame) -> DataFrame:
     )
 
 
+def module_deps(triples: DataFrame) -> DataFrame:
+    """Repo-level dependency edges: (src_repo, dst_repo, n_imports,
+    n_modules) where a file in src_repo imports a module some file in
+    dst_repo provides (basename identity, lexer.module_name semantics).
+    Self-edges are excluded — the census is CROSS-repo coupling, the
+    graph a monorepo-split or build-ordering consumer wants.
+
+    Scale shape: the owners side is distinct-(module, repo) — bounded by
+    |files| — joined on the module id; the distinct-module count per
+    repo pair uses the explicit two-level agg (per-(src, dst, obj)
+    pre-agg, then count+sum) so no Expand is planned."""
+    imp = triples.where(F.col("pred") == "imports").select(
+        _repo().alias("src_repo"), "obj"
+    )
+    owners = (
+        triples.where(F.col("pred") != "same_as")
+        .select(
+            F.concat(
+                F.lit("module:"), F.regexp_extract(F.col("subj"), _MODULE_RE, 1)
+            ).alias("obj"),
+            _repo().alias("dst_repo"),
+        )
+        .distinct()
+    )
+    pre = (
+        imp.join(owners, "obj")
+        .where(F.col("src_repo") != F.col("dst_repo"))
+        .groupBy("src_repo", "dst_repo", "obj")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pre.groupBy("src_repo", "dst_repo").agg(
+        F.sum("n").alias("n_imports"), F.count(F.lit(1)).alias("n_modules")
+    )
+
+
+def dead_defs(triples: DataFrame) -> DataFrame:
+    """Per-repo dead-definition census: functions the repo defines that
+    no file anywhere calls — (repo, n_defs, n_dead, dead_frac).  ONE
+    left join against the distinct called-symbol dictionary with a
+    null-indicator sum; no anti-join + second pass."""
+    defs = (
+        triples.where(F.col("pred") == "defines")
+        .select(_repo().alias("repo"), "obj")
+        .distinct()
+    )
+    called = (
+        triples.where(F.col("pred") == "calls")
+        .select("obj", F.lit(1).alias("called"))
+        .distinct()
+    )
+    return (
+        defs.join(called, "obj", "left")
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_defs"),
+            F.sum(F.when(F.col("called").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dead"),
+        )
+        .select(
+            "repo",
+            "n_defs",
+            "n_dead",
+            F.round(F.col("n_dead") / F.col("n_defs"), ROUND).alias("dead_frac"),
+        )
+    )
+
+
 def resolution_coverage(triples: DataFrame) -> DataFrame:
     """One-row KG-quality metrics: what fraction of call/import edges
     resolve inside the corpus.  The distinct defined-symbol and internal-
@@ -333,6 +401,48 @@ def kg_unresolved_imports(spark, sf_dir):
 )
 def kg_xrepo_dup_defs(spark, sf_dir):
     return xrepo_dup_defs(triples_table(spark))
+
+
+@query(
+    "kg_module_deps",
+    oracle=f"""
+    with imp as (
+      select split_part(subj, ':', 1) as src_repo, obj
+      from read_parquet('{_FIX}') where pred = 'imports'
+    ), owners as (
+      select distinct 'module:' || regexp_extract(subj, '{_MODULE_RE}', 1) as obj,
+             split_part(subj, ':', 1) as dst_repo
+      from read_parquet('{_FIX}') where pred <> 'same_as'
+    )
+    select src_repo, dst_repo, count(*) as n_imports,
+           count(distinct obj) as n_modules
+    from imp join owners using (obj)
+    where src_repo <> dst_repo
+    group by src_repo, dst_repo
+    """,
+)
+def kg_module_deps(spark, sf_dir):
+    return module_deps(triples_table(spark))
+
+
+@query(
+    "kg_dead_defs",
+    oracle=f"""
+    with defs as (
+      select distinct split_part(subj, ':', 1) as repo, obj
+      from read_parquet('{_FIX}') where pred = 'defines'
+    ), called as (
+      select distinct obj from read_parquet('{_FIX}') where pred = 'calls'
+    )
+    select repo, count(*) as n_defs,
+           count(*) filter (where obj not in (select obj from called)) as n_dead,
+           round(count(*) filter (where obj not in (select obj from called))
+                 / count(*), {ROUND}) as dead_frac
+    from defs group by repo
+    """,
+)
+def kg_dead_defs(spark, sf_dir):
+    return dead_defs(triples_table(spark))
 
 
 @query(

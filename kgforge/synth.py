@@ -75,7 +75,7 @@ def _docstring(rs: np.random.RandomState, indent: str) -> list[str]:
     return [f'{indent}"""{" ".join(words)}."""']
 
 
-def _py_content(rs: np.random.RandomState) -> str:
+def _py_content(rs: np.random.RandomState, i: int = 0) -> str:
     pool = func_pool()
     lines: list[str] = []
     for m in sorted(rs.choice(_MODULES, size=rs.randint(1, 4), replace=False)):
@@ -83,6 +83,13 @@ def _py_content(rs: np.random.RandomState) -> str:
     if rs.rand() < 0.5:
         src = _MODULES[rs.randint(len(_MODULES))]
         lines.append(f"from {src} import helper")
+    # ~1/3 of files import another IN-CORPUS module (mod_<j>, j < i): makes
+    # the import-resolution consumers (kg_module_deps, import_coverage)
+    # non-degenerate — the fixed external pool above never matches a file
+    # basename.  j < i keeps the reference satisfiable in any prefix corpus
+    # and file_row stays a pure function of (i, seed).
+    if i > 0 and rs.rand() < 0.35:
+        lines.append(f"import mod_{rs.randint(i)}")
     lines.append("")
     if rs.rand() < 0.6:
         cls = _BASE_CLASSES[rs.randint(len(_BASE_CLASSES))]
@@ -147,7 +154,7 @@ def file_row(i: int, seed: int = 42) -> tuple[str, str, str, str, str]:
     lang = "python" if rs.rand() < PY_SHARE else "javascript"
     ext = "py" if lang == "python" else "js"
     path = f"src/pkg{rs.randint(8)}/mod_{i}.{ext}"
-    content = _py_content(rs) if lang == "python" else _js_content(rs)
+    content = _py_content(rs, i) if lang == "python" else _js_content(rs)
     return repo, path, _commit_of(repo), lang, content
 
 

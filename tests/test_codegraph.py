@@ -33,6 +33,7 @@ def tiny_kg(spark):
             ("r1/b:src/b.py", "defines", "function:g", 1, 1.0),
             ("r1/b:src/b.py", "calls", "function:f", 7, 1.0),
             ("r2/c:src/c.py", "defines", "function:f", 3, 1.0),
+            ("r2/c:src/c.py", "defines", "function:u", 9, 1.0),  # never called
             ("r2/c:src/c.py", "calls", "function:h", 4, 1.0),
             ("function:f_v2", "same_as", "function:f", None, 1.0),
         ],
@@ -78,6 +79,29 @@ def test_resolution_coverage_row(spark, tiny_kg):
     assert (row.calls_total, row.calls_resolved) == (3, 2)  # h unresolved
     assert (row.imports_total, row.imports_resolved) == (2, 1)
     assert row.call_coverage == pytest.approx(2 / 3, abs=1e-4)
+
+
+def test_module_deps_cross_repo_only(spark, tiny_kg):
+    got = {
+        (r.src_repo, r.dst_repo): (r.n_imports, r.n_modules)
+        for r in codegraph.module_deps(tiny_kg).collect()
+    }
+    # a.py imports module:b -> owned by r1/b; module:zlib resolves nowhere;
+    # same-repo module references would be excluded (none here).
+    assert got == {("r1/a", "r1/b"): (1, 1)}
+
+
+def test_dead_defs_census(spark, tiny_kg):
+    got = {
+        r.repo: (r.n_defs, r.n_dead, r.dead_frac)
+        for r in codegraph.dead_defs(tiny_kg).collect()
+    }
+    # f and g are called somewhere; u never is.
+    assert got == {
+        "r1/a": (1, 0, 0.0),
+        "r1/b": (1, 0, 0.0),
+        "r2/c": (2, 1, 0.5),
+    }
 
 
 def test_consumer_scan_prunes_pred_partitions(spark):
