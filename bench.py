@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "kg_unresolved_imports",
     "kg_xrepo_dup_defs",
     "kg_resolution_coverage",
+    "kg_module_deps",
+    "kg_dead_defs",
 ]
 
 PIPELINE_BENCH_FILES = 3000

@@ -51,7 +51,10 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-ALL_KERNELS = ["call_graph", "api_fanin", "unresolved_imports", "xrepo_dup_defs"]
+ALL_KERNELS = [
+    "call_graph", "api_fanin", "unresolved_imports", "xrepo_dup_defs",
+    "module_deps", "dead_defs",
+]
 FANIN_K = 100
 
 N_DEFINES = 8
@@ -161,6 +164,12 @@ def _run_kernel(spark, name: str, triples):
         return _checksum(CG.unresolved_imports(triples), ["obj", "n_files", "n_repos"])
     if name == "xrepo_dup_defs":
         return _checksum(CG.xrepo_dup_defs(triples), ["obj", "n_repos", "n_files"])
+    if name == "module_deps":
+        return _checksum(
+            CG.module_deps(triples), ["src_repo", "dst_repo", "n_imports", "n_modules"]
+        )
+    if name == "dead_defs":
+        return _checksum(CG.dead_defs(triples), ["repo", "n_defs", "n_dead", "dead_frac"])
     raise ValueError(name)
 
 

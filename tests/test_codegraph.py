@@ -104,6 +104,35 @@ def test_dead_defs_census(spark, tiny_kg):
     }
 
 
+@pytest.mark.parametrize(
+    "kernel",
+    [
+        codegraph.xrepo_dup_defs,
+        codegraph.unresolved_imports,
+        codegraph.module_deps,
+        codegraph.dead_defs,
+    ],
+)
+def test_census_aggs_plan_no_expand(spark, tiny_kg, kernel):
+    """The distinct-count censuses use explicit two-level aggs; a mixed
+    countDistinct+count(*) agg would plan an Expand (2x the input rows
+    through the shuffle — measured eff 0.84 vs 1.01, BASELINE.md round 4)."""
+    plan = kernel(tiny_kg)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_call_graph_packed_matches_strings_layout(spark, tiny_kg):
+    packed = {
+        (r.caller, r.callee): r.n_fns
+        for r in codegraph.call_graph(tiny_kg, layout="packed").collect()
+    }
+    strings = {
+        (r.caller, r.callee): r.n_fns
+        for r in codegraph.call_graph(tiny_kg, layout="strings").collect()
+    }
+    assert packed == strings
+
+
 def test_consumer_scan_prunes_pred_partitions(spark):
     """The consumers read the checkpointed pred-partitioned triple table;
     a pred filter must land in PartitionFilters (partition pruning), not a
