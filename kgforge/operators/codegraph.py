@@ -311,6 +311,42 @@ def dead_defs(triples: DataFrame) -> DataFrame:
     )
 
 
+def impact_radius(
+    triples: DataFrame, seed_pattern: str = "%0.py", hops: int = 3
+) -> DataFrame:
+    """Bounded-hop reverse-dependency closure: files reachable from a seed
+    set of changed files by walking the file-level call graph BACKWARD
+    (callee -> caller), with each file's minimal hop distance — the CI
+    test-selection / blast-radius question a code KG exists to answer.
+
+    Frontier-expansion BFS (the graph.py bfs_levels shape): per hop, join
+    the frontier against the reverse edge list, anti-join the visited set,
+    union.  ``hops`` is a small constant so the unrolled plan is shallow
+    (no checkpoint needed); edges come from call_graph()'s packed layout.
+    Seeds are selected by a LIKE pattern so the DuckDB oracle derives the
+    identical set without engine-specific hashing."""
+    edges = call_graph(triples).select("caller", "callee")
+    seeds = (
+        _distinct_subjects(triples)
+        .where(F.col("subj").like(seed_pattern))
+        .select(F.col("subj").alias("file"))
+    )
+    visited = seeds.select("file", F.lit(0).alias("hop"))
+    frontier = seeds
+    for h in range(1, hops + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("file", "callee"), "callee"
+            )
+            .select(F.col("caller").alias("file"))
+            .distinct()
+            .join(visited.select("file"), "file", "left_anti")
+        )
+        visited = visited.unionByName(nxt.select("file", F.lit(h).alias("hop")))
+        frontier = nxt
+    return visited
+
+
 def resolution_coverage(triples: DataFrame) -> DataFrame:
     """One-row KG-quality metrics: what fraction of call/import edges
     resolve inside the corpus.  The distinct defined-symbol and internal-
@@ -453,6 +489,30 @@ def kg_module_deps(spark, sf_dir):
 )
 def kg_dead_defs(spark, sf_dir):
     return dead_defs(triples_table(spark))
+
+
+@query(
+    "kg_impact_radius",
+    oracle=f"""
+    with recursive
+    calls as ({_SQL_CALLS}), defs as ({_SQL_DEFS}),
+    cg as (select distinct caller, callee from calls join defs using (obj)),
+    seeds as (
+      select distinct subj as file from read_parquet('{_FIX}')
+      where pred <> 'same_as' and subj like '%0.py'
+    ),
+    r(file, hop) as (
+      select file, 0 from seeds
+      union
+      select cg.caller, r.hop + 1
+      from r join cg on cg.callee = r.file
+      where r.hop < 3
+    )
+    select file, min(hop) as hop from r group by file
+    """,
+)
+def kg_impact_radius(spark, sf_dir):
+    return impact_radius(triples_table(spark), seed_pattern="%0.py", hops=3)
 
 
 @query(

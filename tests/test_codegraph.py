@@ -104,6 +104,18 @@ def test_dead_defs_census(spark, tiny_kg):
     }
 
 
+def test_impact_radius_min_hops(spark, tiny_kg):
+    got = {
+        r.file: r.hop
+        for r in codegraph.impact_radius(
+            tiny_kg, seed_pattern="%/a.py", hops=2
+        ).collect()
+    }
+    # seed a.py (hop 0); b.py calls f which a.py defines (hop 1); a.py also
+    # calls b.py's g but is already visited — min-hop wins, no revisit.
+    assert got == {"r1/a:src/a.py": 0, "r1/b:src/b.py": 1}
+
+
 @pytest.mark.parametrize(
     "kernel",
     [
