@@ -65,7 +65,7 @@ ALL_KERNELS = [
     "bfs_levels",
     "bfs_part",
 ]
-WARM_EDGES = 20_000  # per-kernel JIT warm-up slice (excluded from timing)
+
 # k is env-overridable because the 1M-file entity graph is DENSE
 # (degree P5=14, median 22): the default k=3 reaches its fixpoint after
 # one round (11 removals), so a k=3 run measures only fixed costs.
@@ -322,15 +322,22 @@ def worker(cpus: int, edges_dir: str, kernels: list[str]) -> None:
 
     result: dict = {"cpus": cpus, "kernels": {}}
     for name in kernels:
-        # per-kernel JIT warm-up on a small slice (same at both levels,
-        # excluded from timing — a cluster executor amortizes codegen)
-        _run_kernel(spark, name, edges.limit(WARM_EDGES))
-        release_caches()
-        t0 = time.time()
-        rows, sig, stages = _run_kernel(spark, name, edges)
-        secs = time.time() - t0
-        release_caches()
-        entry = {"secs": round(secs, 3), "rows": rows, "sig": sig}
+        # min-of-2 FULL runs per kernel (bench/codegraph_scaling.py
+        # rationale): a limit()-slice warm-up compiles a CollectLimit
+        # plan, not the full-input whole-stage-codegen shapes, so the
+        # fresh JVM's first timed run still pays the serial JIT — and for
+        # the iterative kernels every ROUND's stage shapes JIT on first
+        # execution.  A long-lived cluster executor amortizes all of it;
+        # the warm (second) run is the engine's scaling property, and the
+        # min also absorbs one-sided host-steal windows.
+        walls = []
+        rows = sig = stages = None
+        for _ in range(2):
+            t0 = time.time()
+            rows, sig, stages = _run_kernel(spark, name, edges)
+            walls.append(round(time.time() - t0, 3))
+            release_caches()
+        entry = {"secs": min(walls), "walls": walls, "rows": rows, "sig": sig}
         if stages:
             entry["stages"] = stages
         result["kernels"][name] = entry
@@ -457,7 +464,10 @@ def main() -> None:
         "method": (
             f"{args.repeats} PAIRED fresh-JVM invocations per level over one "
             "pre-materialized entity-graph edge parquet (full pipeline output "
-            f"at {args.files} files); per-kernel JIT warm-up slice excluded; "
+            f"at {args.files} files); per-kernel min-of-2 full runs in the "
+            "live JVM (run 1 pays the serial per-round codegen JIT, run 2 "
+            "is the engine — artifacts predating BENCH_SCALING_GRAPH_WARM "
+            "used a limit()-slice warm-up instead); "
             "exact kernels checksum-equal across levels; gate = paired median"
         ),
         "series": series,
