@@ -273,6 +273,14 @@ def main() -> None:
         "cpus": int(cpus),
         **extra,
     }
+    # stamp which round this detail belongs to, so next round's
+    # delta_vs_prev can trust the sidecar without value-matching
+    cur = os.environ.get("KGFORGE_BENCH_ROUND")
+    if cur and cur.isdigit():
+        payload["round"] = int(cur)
+    else:
+        committed = _bench_round_files()
+        payload["round"] = (committed[0][0] + 1) if committed else 1
     prev = _latest_prev_round()
     if prev is not None:
         prev_name, prev_data = prev
@@ -319,8 +327,8 @@ def main() -> None:
     print(line)
 
 
-def _latest_prev_round():
-    """(name, parsed json) of the highest-numbered BENCH_r{N}.json — strictly
+def _bench_round_files():
+    """[(round, path)] of committed BENCH_r{N}.json artifacts, strictly
     below $KGFORGE_BENCH_ROUND when set, so a re-run inside round N never
     computes all-zero deltas against the round's own committed artifact."""
     import glob
@@ -337,9 +345,58 @@ def _latest_prev_round():
         if cur_n is not None and n >= cur_n:
             continue
         rounds.append((n, p))
-    # newest first; skip artifacts without a usable queries dict (r03's
+    return sorted(rounds, reverse=True)
+
+
+def _latest_prev_round():
+    """(name, parsed json) of the previous round's bench payload.
+
+    Preference order (round-4 judge finding: the driver tail of
+    BENCH_r03 was truncated -> parsed: null -> r04's deltas silently
+    compared against r02):
+
+    1. the committed ``BENCH_DETAIL.json`` sidecar — the FULL payload
+       bench.py itself wrote last round, immune to the driver's
+       2000-char stdout tail.  Its round is the ``round`` stamp (written
+       since r05), else recovered by matching its total against the
+       BENCH_r{N} artifacts' parsed/tail values.
+    2. the highest-numbered BENCH_r{N}.json whose driver tail parsed to
+       a usable queries dict (the pre-r05 behavior).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = _bench_round_files()
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as f:
+            detail = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        detail = None
+    if isinstance(detail, dict) and isinstance(detail.get("queries"), dict) and detail["queries"]:
+        d_round = detail.get("round")
+        if d_round is None and isinstance(detail.get("value"), (int, float)):
+            # pre-stamp detail: recover its round by total-seconds match
+            for n, path in rounds:
+                try:
+                    with open(path) as f:
+                        data = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                parsed = data.get("parsed") if "queries" not in data else data
+                val = parsed.get("value") if isinstance(parsed, dict) else None
+                if val is None:
+                    val_str = f"\"value\":{detail['value']}"
+                    if val_str in data.get("tail", ""):
+                        d_round = n
+                        break
+                elif isinstance(val, (int, float)) and abs(val - detail["value"]) < 1e-6:
+                    d_round = n
+                    break
+        # only usable when it demonstrably belongs to a PRIOR round
+        if d_round is not None and (not rounds or d_round in {n for n, _ in rounds} or d_round <= rounds[0][0]):
+            return f"BENCH_r{d_round:02d}/BENCH_DETAIL", detail
+    # fallback: newest driver tail with a usable queries dict (r03's
     # line outgrew the driver's 2000-char stdout tail -> parsed: null)
-    for _, path in sorted(rounds, reverse=True):
+    for _, path in rounds:
         try:
             with open(path) as f:
                 data = json.load(f)

@@ -186,6 +186,20 @@ def _stage_df(spark, name: str, sf_dir: str):
                 .where(F.col("n") >= 2)
                 .agg(F.count(F.lit(1)).alias("n_dup"))
             )
+        # stage_seg_rebuild lives INSIDE the block that defines
+        # seg_base/n_seg/SEG_L (round-4 advisor: it used to sit ~120
+        # lines below, relying on these leaking out of the branch)
+        rebuilt = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(F.slice("ts", i * SEG_L + 1, SEG_L), " "),
+            ),
+        )
+        return seg_base.select("doc_id", rebuilt.alias("tc")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, tc))").alias("sig"),
+        )
     if name == "stage_mh_sha":
         # sha256 variant of the signature build: ONE sha2(s, 256) per
         # shingle yields 64 hex chars = all 8 independent 32-bit slices —
@@ -279,18 +293,6 @@ def _stage_df(spark, name: str, sf_dir: str):
             .select("doc_a", "doc_b")
             .distinct()
             .agg(F.count(F.lit(1)).alias("n_cand"))
-        )
-    if name == "stage_seg_rebuild":
-        rebuilt = F.concat_ws(
-            " ",
-            F.transform(
-                F.sequence(F.lit(0), n_seg - 1),
-                lambda i: F.array_join(F.slice("ts", i * SEG_L + 1, SEG_L), " "),
-            ),
-        )
-        return seg_base.select("doc_id", rebuilt.alias("tc")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(doc_id, tc))").alias("sig"),
         )
     raise ValueError(name)
 

@@ -165,10 +165,14 @@ def _verify_pairs(cand, docs, a_col, b_col):
     CANDIDATE set, never the corpus: the candidate doc-id set semi-joins
     the documents scan before any tokenization, so shingle arrays are
     rebuilt only for docs that appear in some candidate pair.  ``cand``
-    must already be cached (it is read three times: two id projections
-    and the final pair join).  The semi-join's build side is the
-    candidate id set — corpus-size-independent, and AQE converts it to a
-    broadcast at runtime when it fits."""
+    is cached HERE (it is read three times: two id projections and the
+    final pair join) — callers need not pre-cache; a second ``.cache()``
+    on an already-cached plan is a CacheManager no-op, so the call is
+    idempotent (round-4 advisor: an uncached caller used to silently
+    recompute the banded self-join three times).  The semi-join's build
+    side is the candidate id set — corpus-size-independent, and AQE
+    converts it to a broadcast at runtime when it fits."""
+    cand = tracked_cache(cand)
     ids = (
         cand.select(F.col(a_col).alias("doc_id"))
         .unionByName(cand.select(F.col(b_col).alias("doc_id")))
@@ -228,14 +232,26 @@ def minhash_near_dup_pairs(spark, sf_dir):
     measured on the curation gram stage (scaling eff 0.652 at 2->8 cores,
     BENCH_SCALING_MINHASH.json).  Now the md5 pass streams straight off
     the parquet scan and verification recomputes shingles only for docs
-    named in a candidate pair (_verify_pairs semi-join)."""
+    named in a candidate pair (_verify_pairs semi-join).
+
+    ROLE (round 4/5, do not "optimize away"): this md5 kernel and
+    ``minhash_incremental`` are the ORACLE-LOCKSTEP CONTROLS — every
+    hash primitive (md5, hex substring, string min) exists natively in
+    DuckDB, so the oracle recomputes the whole pipeline from scratch
+    with zero fixtures.  The production kernels are the ``_fast``
+    variants below (fixed-width xxhash64, ~2.2-2.4x faster at both
+    parallelism levels), whose oracle replays signatures via the
+    committed XXH64-twin fixture.  Keeping both means a fixture bug
+    shows up as a fast-vs-control divergence, not silent drift; the
+    control being a little slower in the bench (BENCH_r04's
+    minhash_incremental +0.69 s vs r02) is the accepted price."""
     sigs = tracked_cache(
         _md5_groups(_shingles_df(spark, sf_dir)).select("doc_id", *_minhash_cols())
     )
     bands = _bands_df(sigs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    cand = tracked_cache(
+    cand = (
         left.join(right, ["band", "sig"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
@@ -266,19 +282,39 @@ def minhash_near_dup_pairs(spark, sf_dir):
 # domain, asserted at generation time and in the drift test.
 
 
-def _hashed_shingles_of(docs):
+def _hashed_shingles_of(docs, bits128: bool = False):
     # same projection-boundary lesson as _shingles_of: ts must be
     # materialized before the transform references it.
+    #
+    # bits128=True carries a SECOND independently-seeded xxhash64 per
+    # shingle (array<struct<h1,h2>>): one 64-bit key birthday-collides
+    # ~10^4 times at the 10^12-shingle production target, which would
+    # merge distinct shingles inside the exact-Jaccard verify; two seeds
+    # put the any-collision bound at ~1.5e-15 (the codegraph.py:_h2
+    # analysis).  The SIGNATURE side stays single-long (minhash is
+    # approximate by construction; an h1 collision only perturbs one of
+    # 8 mins), so the 8 seed-derivation passes keep their fixed-width
+    # fast path and the committed XXH64-twin fixture keeps replaying
+    # them exactly in DuckDB.
     ts = F.col("ts")
+
+    def _one(*toks):
+        if bits128:
+            return F.struct(
+                F.xxhash64(*toks).alias("h1"),
+                F.xxhash64(F.lit("k2"), *toks).alias("h2"),
+            )
+        return F.xxhash64(*toks)
+
     bh = F.when(
         F.size(ts) >= 3,
         F.transform(
             F.sequence(F.lit(0), F.size(ts) - 3),
-            lambda j: F.xxhash64(
+            lambda j: _one(
                 F.element_at(ts, j + 1), F.element_at(ts, j + 2), F.element_at(ts, j + 3)
             ),
         ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", ts))))
+    ).otherwise(F.array(_one(F.concat_ws(" ", ts))))
     return (
         docs.select("doc_id", _tokens().alias("ts"))
         .select("doc_id", F.array_distinct(bh).alias("bh"))
@@ -312,13 +348,25 @@ def _fast_bands(sigs):
 def _verify_pairs_hashed(cand, docs, a_col, b_col):
     """_verify_pairs with base-hash sets instead of shingle strings: the
     semi-join still bounds re-shingling to candidate docs, but the arrays
-    intersected are longs — no string allocation anywhere in the leg."""
+    intersected are fixed-width — no string allocation anywhere in the
+    leg.  Caches ``cand`` itself (idempotent; see _verify_pairs).
+
+    Shingle identity here is the 128-bit (h1, h2) two-seed key, NOT the
+    single h1 long the signature side uses: set-Jaccard over hashed
+    shingles equals string-set Jaccard only under injectivity, and one
+    64-bit key birthday-collides ~10^4 times at the 10^12-shingle
+    production target (the codegraph.py:_h2 bound) — enough to perturb a
+    verified Jaccard.  Two seeds bound the any-collision probability at
+    ~1.5e-15, so the precision-1.0 claim holds to that bound at any
+    realistic scale (and exactly on the fixture domain, where h1 alone
+    is asserted injective at generation time)."""
+    cand = tracked_cache(cand)
     ids = (
         cand.select(F.col(a_col).alias("doc_id"))
         .unionByName(cand.select(F.col(b_col).alias("doc_id")))
         .distinct()
     )
-    shc = tracked_cache(_hashed_shingles_of(docs.join(ids, "doc_id", "semi")))
+    shc = tracked_cache(_hashed_shingles_of(docs.join(ids, "doc_id", "semi"), bits128=True))
     x = shc.select(F.col("doc_id").alias(a_col), F.col("bh").alias("bh_a"))
     y = shc.select(F.col("doc_id").alias(b_col), F.col("bh").alias("bh_b"))
     jac = F.size(F.array_intersect("bh_a", "bh_b")).cast("double") / F.size(
@@ -343,6 +391,12 @@ def _sql_fast_minhash() -> str:
     return f"""
     with sh as ({_SQL_SHINGLES}),
     ex as (select doc_id, unnest(sh) as s from sh),
+    -- the committed fixture only covers the gate SF dirs; at any other
+    -- sf_dir unmatched shingles would silently DROP out of hx below and
+    -- skew the signatures — fail loudly instead (round-4 advisor)
+    cov as (select count(*) as n_missing from ex
+            left join read_parquet('{shingle_minhash_path()}') f on f.sh = ex.s
+            where f.sh is null),
     hx as (select ex.doc_id, f.* from ex
            join read_parquet('{shingle_minhash_path()}') f on f.sh = ex.s),
     sigs as (select doc_id, {mh_mins} from hx group by doc_id),
@@ -367,6 +421,10 @@ def _sql_fast_minhash() -> str:
     join sizes sa on sa.doc_id = doc_a
     join sizes sb on sb.doc_id = doc_b
     where ni::DOUBLE / (sa.n + sb.n - ni) >= {JACCARD_THRESHOLD}
+      and (select case when n_missing > 0 then error(
+             'shingle fixture misses ' || n_missing::VARCHAR ||
+             ' shingles: sf_dir outside committed fixture coverage')
+           else 1 end from cov) = 1
     """
 
 
@@ -385,7 +443,7 @@ def minhash_near_dup_pairs_fast(spark, sf_dir):
     bands = _fast_bands(sigs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "s1", "s2")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "s1", "s2")
-    cand = tracked_cache(
+    cand = (
         left.join(right, ["band", "s1", "s2"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
@@ -439,9 +497,7 @@ def minhash_incremental(spark, sf_dir):
     is_new = F.col("doc_id") % INCR_MOD == 0
     newb = bands.where(is_new).select(F.col("doc_id").alias("new_doc"), "band", "sig")
     oldb = bands.where(~is_new).select(F.col("doc_id").alias("dup_of"), "band", "sig")
-    cand = tracked_cache(
-        newb.join(oldb, ["band", "sig"]).select("new_doc", "dup_of").distinct()
-    )
+    cand = newb.join(oldb, ["band", "sig"]).select("new_doc", "dup_of").distinct()
     return _verify_pairs(cand, table(spark, sf_dir, "documents"), "new_doc", "dup_of")
 
 
@@ -456,6 +512,10 @@ def _sql_fast_incremental() -> str:
     return f"""
     with sh as ({_SQL_SHINGLES}),
     ex as (select doc_id, unnest(sh) as s from sh),
+    -- loud coverage guard: see _sql_fast_minhash
+    cov as (select count(*) as n_missing from ex
+            left join read_parquet('{shingle_minhash_path()}') f on f.sh = ex.s
+            where f.sh is null),
     hx as (select ex.doc_id, f.* from ex
            join read_parquet('{shingle_minhash_path()}') f on f.sh = ex.s),
     sigs as (select doc_id, {mh_mins} from hx group by doc_id),
@@ -480,6 +540,10 @@ def _sql_fast_incremental() -> str:
     join sizes sa on sa.doc_id = new_doc
     join sizes sb on sb.doc_id = dup_of
     where ni::DOUBLE / (sa.n + sb.n - ni) >= {JACCARD_THRESHOLD}
+      and (select case when n_missing > 0 then error(
+             'shingle fixture misses ' || n_missing::VARCHAR ||
+             ' shingles: sf_dir outside committed fixture coverage')
+           else 1 end from cov) = 1
     """
 
 
@@ -497,9 +561,7 @@ def minhash_incremental_fast(spark, sf_dir):
     is_new = F.col("doc_id") % INCR_MOD == 0
     newb = bands.where(is_new).select(F.col("doc_id").alias("new_doc"), "band", "s1", "s2")
     oldb = bands.where(~is_new).select(F.col("doc_id").alias("dup_of"), "band", "s1", "s2")
-    cand = tracked_cache(
-        newb.join(oldb, ["band", "s1", "s2"]).select("new_doc", "dup_of").distinct()
-    )
+    cand = newb.join(oldb, ["band", "s1", "s2"]).select("new_doc", "dup_of").distinct()
     return _verify_pairs_hashed(cand, docs, "new_doc", "dup_of")
 
 

@@ -19,7 +19,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import catalog, schemas, synth
+from . import catalog, schemas, synth, valvemetrics
 from .checkpoint import CheckpointManager
 from .stages import canonical, embed, link, materialize, mentions
 
@@ -119,6 +119,12 @@ def run_pipeline(
         df = metrics_parts[0]
         for p in metrics_parts[1:]:
             df = df.unionByName(p)
+        # fold in any valve drops observed while the stages above built
+        # (e.g. link's oversized-bucket cap) — the cluster audit trail
+        # for "no silent caps" lives in the written table, not in logs
+        valve_rows = valvemetrics.metrics_rows(spark)
+        if valve_rows is not None:
+            df = df.unionByName(valve_rows)
         return df
 
     t6 = time.time()
