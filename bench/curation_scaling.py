@@ -306,7 +306,7 @@ def _signature(spark, name: str, df):
         sig_expr = "bit_xor(xxhash64(doc_id, round(weight, 1)))"
     elif name == "token_entropy":
         sig_expr = "bit_xor(xxhash64(doc_id, round(entropy, 1)))"
-    elif name == "ccnet_ppl":
+    elif name in ("ccnet_ppl", "ccnet_ppl_openvocab"):
         sig_expr = "bit_xor(xxhash64(doc_id, n_bigrams, round(avg_logprob, 1), ppl_bucket))"
     elif name == "segment_dedup":
         # fully deterministic across partitionings: integer counts and a
@@ -338,6 +338,15 @@ def worker(cpus: int, corpus_dir: str, warm_dir: str) -> None:
     def build(name, sf_dir):
         if name in STAGE_KERNELS:
             return _stage_df(spark, name, sf_dir)
+        if name == "ccnet_ppl_openvocab":
+            # the documented open-vocabulary degrade path (round-4 judge
+            # ask #7): same plan, model tables shipped via shuffle-hash
+            # equi-joins instead of broadcast — run it on a corpus whose
+            # vocabulary GROWS with size (--vocab ~ docs) so the trained
+            # bigram LM genuinely outgrows any broadcast
+            from kgforge.operators.curation import _tok_base, ccnet_scores
+
+            return ccnet_scores(_tok_base(spark, sf_dir), broadcast_model=False)
         return registry.QUERIES[name](spark, sf_dir)
 
     result: dict = {"cpus": cpus, "kernels": {}}
@@ -367,7 +376,7 @@ def _spawn(cpus: int, corpus_dir: str, warm_dir: str, tmp_root, thread_env) -> d
     return json.loads(line.lstrip())
 
 
-def materialize_corpus(docs: int, tmp_root) -> tuple[str, str]:
+def materialize_corpus(docs: int, tmp_root, vocab: int = 400) -> tuple[str, str]:
     """Engine-side synth -> parquet, once, at local[32]; excluded from
     all timings.  Returns (corpus_dir, warm_dir) each holding a
     documents.parquet the registered queries can read as an sf_dir."""
@@ -377,10 +386,10 @@ def materialize_corpus(docs: int, tmp_root) -> tuple[str, str]:
     spark = build_session("kgforge-cscale-gen", master="local[32]")
     corpus_dir = tempfile.mkdtemp(prefix="kgcscale_in_", dir=tmp_root)
     warm_dir = tempfile.mkdtemp(prefix="kgcscale_warm_", dir=tmp_root)
-    synth_documents_df(spark, docs).write.mode("overwrite").parquet(
+    synth_documents_df(spark, docs, vocab=vocab).write.mode("overwrite").parquet(
         f"{corpus_dir}/documents.parquet"
     )
-    synth_documents_df(spark, WARM_DOCS).write.mode("overwrite").parquet(
+    synth_documents_df(spark, WARM_DOCS, vocab=vocab).write.mode("overwrite").parquet(
         f"{warm_dir}/documents.parquet"
     )
     n = spark.read.parquet(f"{corpus_dir}/documents.parquet").count()
@@ -392,6 +401,9 @@ def materialize_corpus(docs: int, tmp_root) -> tuple[str, str]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=300_000)
+    ap.add_argument("--vocab", type=int, default=400,
+                    help="synth vocabulary size (400 = the saturating default; "
+                         "~docs = the ccnet open-vocabulary corpus)")
     ap.add_argument("--cores", default="2,8")
     ap.add_argument("--kernels", default=",".join(KERNELS))
     ap.add_argument("--repeats", type=int, default=3)
@@ -411,7 +423,7 @@ def main() -> None:
     tmp_base = os.environ.get("KGFORGE_LOCAL_DIR")
     tmp_root = os.path.dirname(tmp_base) if tmp_base else None
 
-    corpus_dir, warm_dir = materialize_corpus(args.docs, tmp_root)
+    corpus_dir, warm_dir = materialize_corpus(args.docs, tmp_root, vocab=args.vocab)
 
     lo, hi = (int(c) for c in args.cores.split(","))
     ratio = hi / lo
@@ -455,6 +467,7 @@ def main() -> None:
 
     out = {
         "docs": args.docs,
+        "vocab": args.vocab,
         "cores": [lo, hi],
         "kernels": kernels,
         "method": (

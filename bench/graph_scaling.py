@@ -61,6 +61,8 @@ ALL_KERNELS = [
     "kcore_cum_p256",
     "kcore_cum_salt4",
     "kcore_cum_salt8",
+    "kcore_delta",
+    "kcore_delta_salt4",
     "label_propagation",
     "bfs_levels",
     "bfs_part",
@@ -144,6 +146,19 @@ def _run_kernel(spark, name: str, edges):
                 G.kcore_peel(
                     edges, KCORE_K, KCORE_ROUNDS, cumulative=True, layout_partitions=256
                 ),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
+    if name.startswith("kcore_delta"):
+        # V-row degree-table maintenance (round 5): per cascade round one
+        # broadcast-join E-scan with tiny output + a V-row decrement; one
+        # driver action per round (the fixpoint count); post-cascade
+        # rounds and the final answer never touch E at all.
+        layout = "salted:4" if name.endswith("salt4") else "hash"
+        return (
+            *_checksum(
+                G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, delta=True, layout=layout),
                 ["node", "core_degree"],
             ),
             None,

@@ -426,7 +426,22 @@ def ccnet_ppl(spark, sf_dir):
     Reference analog: the reference has no corpus-quality LM
     (/root/reference/search/tf_idf_search.py scores relevance only);
     this is LLM-data surface."""
-    base = _tok_base(spark, sf_dir)
+    return ccnet_scores(_tok_base(spark, sf_dir))
+
+
+def ccnet_scores(base: DataFrame, broadcast_model: bool = True) -> DataFrame:
+    """ccnet_ppl's plan, parameterized on the model-distribution valve.
+
+    ``broadcast_model=True`` is the CCNet production layout (model to
+    every worker, one corpus pass) — right while the trained LM fits the
+    broadcast ceiling, which a SATURATING vocabulary guarantees (the
+    registered query's corpora).  ``broadcast_model=False`` is the
+    documented OPEN-VOCABULARY degrade path: when distinct bigrams grow
+    with the corpus (real web text), the model outgrows any broadcast
+    and the same query ships both model tables through shuffle-hash
+    equi-joins on the hash keys instead — the corpus bigram stream pays
+    one exchange, the plan is otherwise unchanged.  Measured paired
+    (BENCH_SCALING_CCNET_OPENVOCAB.json, summarized in BASELINE.md)."""
     big = base.select("doc_id", F.explode(_bigram_hash_expr()).alias("g")).select(
         "doc_id", "g.h2", "g.h1"
     )
@@ -442,10 +457,11 @@ def ccnet_ppl(spark, sf_dir):
     p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0)) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     )
+    dist = F.broadcast if broadcast_model else (lambda d: d.hint("shuffle_hash"))
     scored = (
-        big.join(F.broadcast(c12.drop("mh1")), "h2", "left")
-        .join(F.broadcast(c1), "h1", "left")
-        .crossJoin(F.broadcast(vv))
+        big.join(dist(c12.drop("mh1")), "h2", "left")
+        .join(dist(c1), "h1", "left")
+        .crossJoin(F.broadcast(vv))  # one row either way
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

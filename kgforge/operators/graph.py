@@ -446,6 +446,7 @@ def kcore_peel(
     checkpoint_every: int = 1,
     anti: bool = False,
     cumulative: bool = False,
+    delta: bool = False,
     layout: str = "hash",
     layout_partitions: int | None = None,
 ) -> DataFrame:
@@ -536,7 +537,109 @@ def kcore_peel(
     partial agg + a balanced exchange of partials (~sum(min(deg, P))
     rows, half of E here) — the textbook skew answer; at web scale the
     balanced exchange beats the straggler whenever a hub outweighs
-    E/cores."""
+    E/cores.
+
+    ``delta=True`` (round 5 — the formulation that finally removed the
+    measured serial term) changes WHAT is maintained, not just how it
+    is laid out: a V-row DEGREE table, decremented per round, instead
+    of an E-row edge table re-aggregated per round.  The per-stage
+    decomposition of the cumulative peel (BENCH_SCALING_GRAPH_K16)
+    showed each E-row materialization leg carries ~0.6-1.6 s of
+    driver/action latency while its parallel portion scales nearly
+    perfectly — so the peel's efficiency is set by the NUMBER of
+    materialized legs.  Delta mode has three kinds of leg:
+
+    - one-time: cache the base edge table and aggregate initial
+      degrees deg(v) once;
+    - per cascade round: ``dec = base ⋈ broadcast(removed_r on dst)
+      → groupBy(src).count`` — one parallel E-scan whose OUTPUT is only
+      the edges incident to the round's removed set, then a V-row
+      update ``deg' = (deg ∖ removed_r) left-join dec`` and the next
+      removed set off the V-row table.  Everything is lazily cached;
+      the ONLY driver action per round is one count() (the fixpoint
+      probe), which materializes the whole round's chain as one job.
+    - after the cascade dies (removed_r = ∅): NO E-scan at all —
+      the fixpoint probe reads the V-row degree table only, and the
+      survivors' core degrees are already sitting in it (the E-row
+      final aggregation the other formulations pay, measured eff 0.56,
+      does not exist here).
+
+    Correctness: deg_r(v) for alive v equals v's degree in the round-r
+    induced subgraph by induction — each base edge (v, u) is
+    decremented from deg(v) exactly once, in the round u is removed
+    (removed sets are disjoint), and edges between two same-round
+    removed nodes decrement only already-dead rows, which the
+    anti-join discards.  A surviving node whose degree reached 0
+    (every neighbor peeled) is filtered at the end, matching the
+    groupBy-over-edges semantics of the other formulations (pinned
+    cross-formulation by tests/test_graph.py).  At web scale the
+    removed set can outgrow a broadcast only in round 1 (the
+    degree-fringe argument above): run round 1's dec as a shuffle join
+    there, then broadcast from round 2 on — at this harness's graph
+    every round broadcasts fine."""
+    if delta:
+        # Fixed-width discipline (the call_graph packed-key lesson,
+        # measured eff 0.49 -> 0.88 there): node ids are STRINGS, and a
+        # string-keyed E-row pass per round is the shared-JVM alloc wall.
+        # Hash both endpoints to a two-seed 128-bit key ONCE (one 64-bit
+        # key birthday-collides ~1e4 times at the 1e12-file target —
+        # codegraph._h2's bound; two seeds ~1.5e-15, treated as exact),
+        # cache the edge table as four longs, and key every round's
+        # join/agg on the longs.  The node STRING is touched by exactly
+        # one E-row aggregation (the initial degree count, which carries
+        # it into the V-row table) and never again — the output re-reads
+        # it from the V-row table for free.
+        h = [
+            F.xxhash64("src").alias("h1"),
+            F.xxhash64(F.lit("k2"), F.col("src")).alias("h2"),
+            F.xxhash64("dst").alias("d1"),
+            F.xxhash64(F.lit("k2"), F.col("dst")).alias("d2"),
+        ]
+        base = edges.select(*h)
+        if layout.startswith("salted"):
+            s = int(layout.split(":")[1]) if ":" in layout else 8
+            n_p = layout_partitions or 32
+            base = base.repartition(n_p, "h1", F.pmod(F.col("d1"), F.lit(s)))
+        base = tracked_cache(base)
+        deg = tracked_cache(
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "src",
+                F.xxhash64("src").alias("h1"),
+                F.xxhash64(F.lit("k2"), F.col("src")).alias("h2"),
+                "c",
+            )
+        )
+        for _ in range(rounds):
+            # alias() detaches exprIds so the deg-derived filter can
+            # join back against deg/base without self-join ambiguity
+            removed = tracked_cache(
+                deg.where(F.col("c") < k).select(
+                    F.col("h1").alias("h1"), F.col("h2").alias("h2")
+                )
+            )
+            if removed.count() == 0:  # the only driver action per round
+                break
+            rm_dst = removed.select(F.col("h1").alias("d1"), F.col("h2").alias("d2"))
+            dec = (
+                base.join(F.broadcast(rm_dst), ["d1", "d2"])
+                .groupBy("h1", "h2")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            deg = tracked_cache(
+                deg.join(F.broadcast(removed), ["h1", "h2"], "left_anti")
+                .join(dec, ["h1", "h2"], "left")
+                .select(
+                    "src",
+                    "h1",
+                    "h2",
+                    (F.col("c") - F.coalesce(F.col("d"), F.lit(0))).alias("c"),
+                )
+            )
+        return deg.where(F.col("c") > 0).select(
+            F.col("src").alias("node"), F.col("c").alias("core_degree")
+        )
     if cumulative:
         if layout == "even":
             n_even = layout_partitions or edges.sparkSession.sparkContext.defaultParallelism * 4

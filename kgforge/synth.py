@@ -183,7 +183,9 @@ def synth_files_df(spark, n: int, seed: int = 42, partitions: int | None = None)
     return rng.mapInPandas(gen, schema=schemas.FILES)
 
 
-def synth_documents_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+def synth_documents_df(
+    spark, n: int, seed: int = 42, partitions: int | None = None, vocab: int = 400
+):
     """Deterministic ``documents(doc_id, text, lang, source, n_chars)``
     corpus for curation-operator scale runs — the documents-table analog
     of ``synth_files_df``, but generated entirely ENGINE-SIDE (pure
@@ -206,13 +208,18 @@ def synth_documents_df(spark, n: int, seed: int = 42, partitions: int | None = N
         F.col("id").alias("doc_id"),
         (F.pmod(F.xxhash64(F.col("id") + F.lit(s + 1)), F.lit(200)) + 80).alias("ln"),
     )
+    # u-resolution: 1e4 buckets suffice for (and keep byte-identical) the
+    # default 400-word vocabulary; an OPEN vocabulary (vocab ~ corpus
+    # size, the ccnet_ppl degrade-path corpus) needs enough buckets that
+    # floor(u^3 * vocab) can actually reach vocab distinct ids
+    mod = 10_000 if vocab == 400 else max(10_000, 100 * vocab)
     toks = base.select(
         "doc_id",
         "ln",
         F.expr(
             f"transform(sequence(1, cast(ln as int)), i -> concat('w', cast("
-            f"pow(pmod(xxhash64(doc_id * 100003 + i + {s}), 10000) / 10000.0, 3.0)"
-            f" * 400 as int)))"
+            f"pow(pmod(xxhash64(doc_id * 100003 + i + {s}), {mod}) / {mod}.0, 3.0)"
+            f" * {vocab} as int)))"
         ).alias("t"),
     )
     # repetition-heavy slice: tile the doc's own first 5 tokens to full length

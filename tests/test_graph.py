@@ -72,6 +72,11 @@ def test_kcore_peel_matches_bruteforce(spark):
     assert got == want
     assert "p" not in got  # pendant peeled
     assert "e" in got  # bridge node survives (degree exactly k)
+    got_delta = {
+        r["node"]: r["core_degree"]
+        for r in kcore_peel(_sym(spark, und), k, rounds, delta=True).collect()
+    }
+    assert got_delta == want
 
 
 def test_label_propagation_deterministic_and_total(spark):
@@ -245,11 +250,28 @@ def test_kcore_anti_matches_and_round_is_exchange_free(spark):
         for r in kcore_peel(sym, 3, 4, cumulative=True, layout="salted:4").collect()
     }
     assert ka == ks
+    # delta mode maintains a V-row degree table (decrements instead of
+    # E-row re-aggregation) — must be output-identical in every layout
+    kdelta = {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 4, delta=True).collect()}
+    assert ka == kdelta
+    kdelta_ar = {
+        (r.node, r.core_degree)
+        for r in kcore_peel(sym, 3, 4, delta=True, layout="asread").collect()
+    }
+    assert ka == kdelta_ar
+    kdelta_s = {
+        (r.node, r.core_degree)
+        for r in kcore_peel(sym, 3, 4, delta=True, layout="salted:4").collect()
+    }
+    assert ka == kdelta_s
     # fixpoint early-exit must not change the answer vs a huge round budget
     kcum_many = {
         (r.node, r.core_degree) for r in kcore_peel(sym, 3, 50, cumulative=True).collect()
     }
     assert {(r.node, r.core_degree) for r in kcore_peel(sym, 3, 50).collect()} == kcum_many
+    assert {
+        (r.node, r.core_degree) for r in kcore_peel(sym, 3, 50, delta=True).collect()
+    } == kcum_many
 
     # _pinned_checkpoint is load-bearing: a PLAIN localCheckpoint under
     # AQE forgets the hash layout (AdaptiveSparkPlan's outputPartitioning
