@@ -63,6 +63,8 @@ ALL_KERNELS = [
     "kcore_cum_salt8",
     "kcore_delta",
     "kcore_delta_salt4",
+    "kcore_delta_adj",
+    "kcore_delta_stages",
     "label_propagation",
     "bfs_levels",
     "bfs_part",
@@ -146,6 +148,18 @@ def _run_kernel(spark, name: str, edges):
                 G.kcore_peel(
                     edges, KCORE_K, KCORE_ROUNDS, cumulative=True, layout_partitions=256
                 ),
+                ["node", "core_degree"],
+            ),
+            None,
+        )
+    if name == "kcore_delta_stages":
+        return _kcore_delta_stage_walls(edges)
+    if name == "kcore_delta_adj":
+        # V-row adjacency formulation (round 5, gate headline): one-time
+        # neighbor-list build; per-round dec probes V rows, not E
+        return (
+            *_checksum(
+                G.kcore_peel(edges, KCORE_K, KCORE_ROUNDS, delta=True, adjacency=True),
                 ["node", "core_degree"],
             ),
             None,
@@ -324,6 +338,96 @@ def _kcore_cum_stage_walls(edges):
     out = cur.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("core_degree"))
     n = out.count()
     stages["final_agg"] = round(time.time() - t, 3)
+    return n, None, stages
+
+
+def _kcore_delta_stage_walls(edges):
+    """Per-stage decomposition of the DELTA k-core peel (mirrors
+    kgforge.operators.graph.kcore_peel(delta=True) with a timer and a
+    driver-action barrier per leg): the one-time packed-base cache and
+    initial V-row degree build, then each cascade round split into its
+    three legs — the fixpoint probe off the cached V-row table, the
+    E-scan decrement aggregation, and the V-row degree update.  The
+    decrement agg is timed under BOTH join strategies in the same run —
+    ``roundN_dec_bcast`` (what the operator's plan picks under the 64 MB
+    broadcast threshold) and ``roundN_dec_shuf`` (explicit shuffle-hash)
+    — so the paired artifact directly shows whether the per-round
+    driver-side broadcast build is the serial term.  The barriers add
+    driver actions the production single-job-per-round plan does not
+    pay, so the stage SUM exceeds the kernel's end-to-end wall; the
+    per-leg efficiency ratios are the signal."""
+    from pyspark.sql import functions as F
+
+    from kgforge.cachectl import tracked_cache
+
+    stages: dict[str, float] = {}
+    h = [
+        F.xxhash64("src").alias("h1"),
+        F.xxhash64(F.lit("k2"), F.col("src")).alias("h2"),
+        F.xxhash64("dst").alias("d1"),
+        F.xxhash64(F.lit("k2"), F.col("dst")).alias("d2"),
+    ]
+    t = time.time()
+    base = tracked_cache(edges.select(*h))
+    base.count()
+    stages["base_cache"] = round(time.time() - t, 3)
+
+    t = time.time()
+    deg = tracked_cache(
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "src",
+            F.xxhash64("src").alias("h1"),
+            F.xxhash64(F.lit("k2"), F.col("src")).alias("h2"),
+            "c",
+        )
+    )
+    deg.count()
+    stages["deg_build"] = round(time.time() - t, 3)
+
+    for i in range(KCORE_ROUNDS):
+        t = time.time()
+        removed = tracked_cache(
+            deg.where(F.col("c") < KCORE_K).select(
+                F.col("h1").alias("h1"), F.col("h2").alias("h2")
+            )
+        )
+        n_removed = removed.count()
+        stages[f"round{i + 1}_probe"] = round(time.time() - t, 3)
+        stages[f"round{i + 1}_removed_rows"] = n_removed
+        if n_removed == 0:
+            break
+        rm_dst = removed.select(F.col("h1").alias("d1"), F.col("h2").alias("d2"))
+        dec_plan = (
+            base.join(F.broadcast(rm_dst), ["d1", "d2"])
+            .groupBy("h1", "h2")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        t = time.time()
+        dec = tracked_cache(dec_plan)
+        n_dec = dec.count()
+        stages[f"round{i + 1}_dec_escan"] = round(time.time() - t, 3)
+        stages[f"round{i + 1}_dec_rows"] = n_dec
+
+        alive = deg.join(F.broadcast(removed), ["h1", "h2"], "left_anti")
+        upd = lambda d: alive.join(d, ["h1", "h2"], "left").select(  # noqa: E731
+            "src",
+            "h1",
+            "h2",
+            (F.col("c") - F.coalesce(F.col("d"), F.lit(0))).alias("c"),
+        )
+        t = time.time()
+        upd(dec).count()  # planner picks broadcast: dec < 64 MB threshold
+        stages[f"round{i + 1}_upd_bcast"] = round(time.time() - t, 3)
+        t = time.time()
+        deg_next = tracked_cache(upd(dec.hint("shuffle_hash")))
+        deg_next.count()
+        stages[f"round{i + 1}_upd_shuf"] = round(time.time() - t, 3)
+        deg = deg_next
+    t = time.time()
+    n = deg.where(F.col("c") > 0).count()
+    stages["final_vrow_agg"] = round(time.time() - t, 3)
     return n, None, stages
 
 

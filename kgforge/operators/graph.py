@@ -447,6 +447,7 @@ def kcore_peel(
     anti: bool = False,
     cumulative: bool = False,
     delta: bool = False,
+    adjacency: bool = False,
     layout: str = "hash",
     layout_partitions: int | None = None,
 ) -> DataFrame:
@@ -576,7 +577,80 @@ def kcore_peel(
     removed set can outgrow a broadcast only in round 1 (the
     degree-fringe argument above): run round 1's dec as a shuffle join
     there, then broadcast from round 2 on — at this harness's graph
-    every round broadcasts fine."""
+    every round broadcasts fine.
+
+    ``delta=True, adjacency=True`` (round 5 — the formulation that
+    cleared the gate) additionally removes the per-round E-ROW SCAN.
+    The stage decomposition of plain delta mode
+    (BENCH_SCALING_GRAPH_DELTA kcore_delta_stages) localized the whole
+    scaling deficit to the dec leg: probing 44M cached edge rows
+    against a broadcast hash of the removed set costs ~4 s at BOTH
+    parallelism levels (a warm full cached scan alone is 0.23 s — the
+    constant is the random hash-probe's memory-latency wall, which a
+    single box cannot parallelize past ~2 threads), and it recurs
+    EVERY cascade round even when the round's output is 3.6k rows.
+    Adjacency mode pays one extra one-time build — group the packed
+    edges by dst into V-row neighbor lists,
+    ``adj(d1,d2) -> [struct(h1,h2)...]`` — and each round's dec becomes
+    a V-ROW probe (1.2M rows, not 44M) + explode of ONLY the removed
+    nodes' lists: measured 0.74 s (round 1, 312k removals) and 0.46 s
+    (3.5k removals) at local[8] vs the E-scan's flat ~4 s.  The build
+    itself is an ordinary partial-agg shuffle and scales at 0.91
+    paired; ``size(nb)`` doubles as the initial degree (the edge table
+    is symmetrized, so indegree = outdegree), which deletes the
+    separate string-keyed degree aggregation the plain-delta mode
+    paid.  The group-by carries ``first(dst)`` so the V-row table owns
+    the node string from birth; no E-row pass ever touches strings
+    again.  collect_list aggregation needs
+    ``spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold``
+    above the per-task group count (session.py sets 8M engine-wide;
+    the Spark default of 128 silently degrades the build to sort-based
+    — measured 21 s vs 10.7 s at local[8]).  Multiplicity, zero-degree
+    filtering and the fixed-round fixpoint semantics are identical to
+    plain delta (pinned cross-formulation by tests/test_graph.py)."""
+    if delta and adjacency:
+        adj = tracked_cache(
+            edges.groupBy(
+                F.xxhash64("dst").alias("h1"),
+                F.xxhash64(F.lit("k2"), F.col("dst")).alias("h2"),
+            ).agg(
+                F.collect_list(
+                    F.struct(
+                        F.xxhash64("src").alias("h1"),
+                        F.xxhash64(F.lit("k2"), F.col("src")).alias("h2"),
+                    )
+                ).alias("nb"),
+                F.first("dst").alias("node"),
+            )
+        )
+        deg = tracked_cache(
+            adj.select("node", "h1", "h2", F.size("nb").alias("c"))
+        )
+        for _ in range(rounds):
+            removed = tracked_cache(
+                deg.where(F.col("c") < k).select("h1", "h2")
+            )
+            if removed.count() == 0:  # the only driver action per round
+                break
+            dec = (
+                adj.join(F.broadcast(removed), ["h1", "h2"])
+                .select(F.explode("nb").alias("s"))
+                .groupBy(F.col("s.h1").alias("h1"), F.col("s.h2").alias("h2"))
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            deg = tracked_cache(
+                deg.join(F.broadcast(removed), ["h1", "h2"], "left_anti")
+                .join(F.broadcast(dec), ["h1", "h2"], "left")
+                .select(
+                    "node",
+                    "h1",
+                    "h2",
+                    (F.col("c") - F.coalesce(F.col("d"), F.lit(0))).alias("c"),
+                )
+            )
+        return deg.where(F.col("c") > 0).select(
+            "node", F.col("c").alias("core_degree")
+        )
     if delta:
         # Fixed-width discipline (the call_graph packed-key lesson,
         # measured eff 0.49 -> 0.88 there): node ids are STRINGS, and a

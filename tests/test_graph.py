@@ -77,6 +77,11 @@ def test_kcore_peel_matches_bruteforce(spark):
         for r in kcore_peel(_sym(spark, und), k, rounds, delta=True).collect()
     }
     assert got_delta == want
+    got_adj = {
+        r["node"]: r["core_degree"]
+        for r in kcore_peel(_sym(spark, und), k, rounds, delta=True, adjacency=True).collect()
+    }
+    assert got_adj == want
 
 
 def test_label_propagation_deterministic_and_total(spark):
@@ -264,6 +269,13 @@ def test_kcore_anti_matches_and_round_is_exchange_free(spark):
         for r in kcore_peel(sym, 3, 4, delta=True, layout="salted:4").collect()
     }
     assert ka == kdelta_s
+    # adjacency-delta mode probes V-row neighbor lists instead of E rows
+    # per round — must be output-identical too
+    kdelta_adj = {
+        (r.node, r.core_degree)
+        for r in kcore_peel(sym, 3, 4, delta=True, adjacency=True).collect()
+    }
+    assert ka == kdelta_adj
     # fixpoint early-exit must not change the answer vs a huge round budget
     kcum_many = {
         (r.node, r.core_degree) for r in kcore_peel(sym, 3, 50, cumulative=True).collect()
