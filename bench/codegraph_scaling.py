@@ -53,7 +53,7 @@ if _REPO_ROOT not in sys.path:
 
 ALL_KERNELS = [
     "call_graph", "api_fanin", "unresolved_imports", "xrepo_dup_defs",
-    "module_deps", "dead_defs", "impact_radius",
+    "module_deps", "dead_defs", "impact_radius", "call_scc",
 ]
 FANIN_K = 100
 
@@ -179,6 +179,19 @@ def _run_kernel(spark, name: str, triples):
         return _checksum(
             CG.impact_radius(triples, seed_pattern="%0.py", hops=3), ["file", "hop"]
         )
+    if name == "call_scc":
+        # end-to-end cycle census over the FILE-level call graph (the
+        # large directed graph — the repo-level graph the registered
+        # queries condense is dictionary-sized): packed call-graph build
+        # + iterative forward/backward min-label SCC peel.  Iteration
+        # count is diameter-bounded; the synthetic power-law call graph
+        # collapses to a giant SCC in a handful of min-propagation steps.
+        from pyspark.sql import functions as F
+
+        edges = CG.call_graph(triples).select(
+            F.col("caller").alias("src_repo"), F.col("callee").alias("dst_repo")
+        )
+        return _checksum(CG.scc_labels(edges), ["node", "scc_id"])
     raise ValueError(name)
 
 

@@ -376,6 +376,179 @@ def resolution_coverage(triples: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ SCC / build order
+# Directed-graph structure of the repo dependency graph: which repos are
+# tangled in import CYCLES (the census a monorepo-split or build-ordering
+# consumer needs first), and the parallel-build LAYERING of the acyclic
+# condensation.  The reference consumes its concept graph the same way —
+# ranked pair structure over the materialized link table
+# (/root/reference/experiments/uaz_documents_comparison.py:350-389); cycles
+# and build order are the code-KG analogs of that structural census.
+
+
+def scc_labels(edges: DataFrame, src: str = "src_repo", dst: str = "dst_repo") -> DataFrame:
+    """(node, scc_id) for every node incident to an edge, where scc_id is
+    the lexicographic-minimum member of the node's strongly connected
+    component — the iterative forward/backward min-label peel (the
+    "coloring" FW-BW decomposition from the Pregel/distributed-SCC
+    literature), DataFrame-only:
+
+    per outer round, propagate the min node id along edges to fixpoint
+    FORWARD (fmin(v) = min id over ancestors-or-self) and BACKWARD
+    (bmin(v) = min id over descendants-or-self).  A node with
+    fmin == bmin == m has m as both ancestor-or-self and
+    descendant-or-self, i.e. v is in SCC(m); because every member of an
+    SCC shares the same ancestor and descendant sets, whole SCCs settle
+    together, and the settled label IS the SCC minimum.  Settled nodes
+    (and their edges) are removed — a path between remaining nodes can
+    never route through a settled SCC without putting that SCC on the
+    cycle, so removal preserves the remaining SCC structure — and the
+    round repeats.  The SCC of the globally minimal remaining node
+    settles every round, so the outer loop always progresses.
+
+    Scale shape: each inner propagation step is one E-row equi-join +
+    V-row min-agg (map-side partial agg; fixed-point detected by a
+    bounded count() probe, the pagerank/kcore driver-action pattern);
+    inner steps are bounded by the remaining graph's diameter, outer
+    rounds by the condensation's depth (power-law dependency graphs
+    settle in a handful).  localCheckpoint per step truncates the
+    iterative lineage exactly like graph.py's CC/pagerank rounds.  Label
+    ids are the node strings themselves, so the oracle reproduces
+    min-labels with no engine-specific hashing."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    settled: DataFrame | None = None
+
+    def _min_reach(remaining: DataFrame, ed: DataFrame, forward: bool) -> DataFrame:
+        a, b = ("src", "dst") if forward else ("dst", "src")
+        lab = remaining.select("node", F.col("node").alias("lab")).localCheckpoint()
+        while True:
+            cand = (
+                ed.join(lab.withColumnRenamed("node", a), a)
+                .select(F.col(b).alias("node"), "lab")
+            )
+            new = (
+                lab.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab"))
+                .localCheckpoint()
+            )
+            # bounded driver probe: one count per step (graph.py pattern)
+            changed = (
+                new.join(lab.withColumnRenamed("lab", "old"), "node")
+                .where(F.col("lab") != F.col("old"))
+                .count()
+            )
+            lab = new
+            if changed == 0:
+                return lab
+
+    remaining = nodes
+    while True:
+        fmin = _min_reach(remaining, e, forward=True).withColumnRenamed("lab", "fmin")
+        bmin = _min_reach(remaining, e, forward=False).withColumnRenamed("lab", "bmin")
+        both = fmin.join(bmin, "node").localCheckpoint()
+        done = both.where(F.col("fmin") == F.col("bmin")).select(
+            "node", F.col("fmin").alias("scc_id")
+        )
+        settled = done if settled is None else settled.unionByName(done)
+        remaining = (
+            both.where(F.col("fmin") != F.col("bmin")).select("node").localCheckpoint()
+        )
+        if remaining.isEmpty():
+            return settled.localCheckpoint()
+        e = (
+            e.join(remaining.withColumnRenamed("node", "src"), "src", "semi")
+            .join(remaining.withColumnRenamed("node", "dst"), "dst", "semi")
+            .localCheckpoint()
+        )
+
+
+def import_cycles(deps: DataFrame) -> DataFrame:
+    """Repos tangled in cross-repo import cycles: (repo, scc_id, scc_size)
+    for every repo whose SCC in the repo dependency graph has >= 2 members
+    (module_deps excludes self-edges, so singleton SCCs are acyclic by
+    construction).  scc_id is the SCC's lexicographic-minimum repo.
+    ``deps``: (src_repo, dst_repo) edges, e.g. ``module_deps(triples)``."""
+    lab = scc_labels(deps)
+    sizes = lab.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return (
+        lab.join(sizes, "scc_id")
+        .where(F.col("scc_size") >= 2)
+        .select(F.col("node").alias("repo"), "scc_id", "scc_size")
+    )
+
+
+def dep_layers(deps: DataFrame) -> DataFrame:
+    """Parallel-build schedule over the repo dependency graph: contract
+    each SCC to its canonical id (cycles must build as one unit), then
+    layer the acyclic condensation by LONGEST dependency chain —
+    layer(v) = 0 for repos depending on nothing, else
+    1 + max(layer of dependencies) — so every repo in layer L can build
+    as soon as layers < L are done.  Returns (repo, scc_id, layer) for
+    every repo incident to a cross-repo dependency edge.
+    ``deps``: (src_repo, dst_repo) edges, e.g. ``module_deps(triples)``.
+
+    The relaxation iterates layer(v) = max over out-edges of
+    1 + layer(dst) to fixpoint; the condensation is a DAG so the loop is
+    bounded by its depth.  Condensed-edge build is two dictionary joins
+    (scc label per endpoint) + distinct — the label table is
+    |repos|-bounded and broadcastable at any realistic scale."""
+    deps = deps.select("src_repo", "dst_repo")
+    lab = scc_labels(deps)
+    cond = (
+        deps.join(
+            lab.select(F.col("node").alias("src_repo"), F.col("scc_id").alias("csrc")),
+            "src_repo",
+        )
+        .join(
+            lab.select(F.col("node").alias("dst_repo"), F.col("scc_id").alias("cdst")),
+            "dst_repo",
+        )
+        .where(F.col("csrc") != F.col("cdst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    layer = (
+        lab.select(F.col("scc_id").alias("n")).distinct()
+        .select("n", F.lit(0).alias("layer"))
+        .localCheckpoint()
+    )
+    while True:
+        cand = (
+            cond.join(layer.withColumnRenamed("n", "dst"), "dst")
+            .select(F.col("src").alias("n"), (F.col("layer") + 1).alias("layer"))
+        )
+        new = (
+            layer.unionByName(cand)
+            .groupBy("n")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(layer.withColumnRenamed("layer", "old"), "n")
+            .where(F.col("layer") != F.col("old"))
+            .count()
+        )
+        layer = new
+        if changed == 0:
+            break
+    return lab.join(
+        layer.withColumnRenamed("n", "scc_id"), "scc_id"
+    ).select(F.col("node").alias("repo"), "scc_id", "layer")
+
+
 # ------------------------------------------------------------ registered queries
 
 _SQL_CALLS = f"select subj as caller, obj from read_parquet('{_FIX}') where pred = 'calls'"
@@ -541,3 +714,82 @@ def kg_impact_radius(spark, sf_dir):
 )
 def kg_resolution_coverage(spark, sf_dir):
     return resolution_coverage(triples_table(spark))
+
+
+# Shared oracle fragments for the SCC consumers: the repo dependency edge
+# set (the kg_module_deps derivation reduced to distinct pairs), its
+# transitive closure (+1 or more edges), and the mutual-reachability pairs.
+_SQL_DEPS_CTES = f"""
+    imp as (
+      select split_part(subj, ':', 1) as src_repo, obj
+      from read_parquet('{_FIX}') where pred = 'imports'
+    ), owners as (
+      select distinct 'module:' || regexp_extract(subj, '{_MODULE_RE}', 1) as obj,
+             split_part(subj, ':', 1) as dst_repo
+      from read_parquet('{_FIX}') where pred <> 'same_as'
+    ), deps as (
+      select distinct src_repo as src, dst_repo as dst
+      from imp join owners using (obj) where src_repo <> dst_repo
+    ), cl(src, dst) as (
+      select src, dst from deps
+      union
+      select cl.src, d.dst from cl join deps d on d.src = cl.dst
+    ), mutual as (
+      select a.src as r, a.dst as o
+      from cl a join cl b on b.src = a.dst and b.dst = a.src
+    )
+"""
+
+
+@query(
+    "kg_import_cycles",
+    oracle=f"""
+    with recursive {_SQL_DEPS_CTES},
+    scc as (
+      select r as repo, min(o) as scc_id, count(distinct o) as scc_size
+      from mutual group by r
+    )
+    select repo, scc_id, scc_size from scc where scc_size >= 2
+    """,
+)
+def kg_import_cycles(spark, sf_dir):
+    """Repos on cross-repo import cycles with their SCC id + size.  The
+    oracle derives SCC membership from the closure's mutual-reachability
+    pairs (a node is on a cycle iff it reaches itself through >= 1 edge),
+    fully independent of the Spark peel."""
+    return import_cycles(module_deps(triples_table(spark)))
+
+
+@query(
+    "kg_dep_layers",
+    oracle=f"""
+    with recursive {_SQL_DEPS_CTES},
+    allnodes as (select src as n from deps union select dst from deps),
+    scc_all as (
+      select n as repo, coalesce(min(o), n) as scc_id
+      from allnodes left join mutual on mutual.r = n
+      group by n
+    ),
+    cedges as (
+      select distinct sa.scc_id as src, sb.scc_id as dst
+      from deps join scc_all sa on sa.repo = deps.src
+                join scc_all sb on sb.repo = deps.dst
+      where sa.scc_id <> sb.scc_id
+    ),
+    w(n, len) as (
+      select distinct scc_id, 0 from scc_all
+      union
+      select ce.src, w.len + 1 from w join cedges ce on ce.dst = w.n
+    )
+    select repo, scc_id, max(len) as layer
+    from scc_all join w on w.n = scc_id
+    group by repo, scc_id
+    """,
+)
+def kg_dep_layers(spark, sf_dir):
+    """Parallel-build layering of the SCC-condensed repo dependency graph
+    (layer = longest dependency chain).  The oracle recomputes SCC ids
+    from the closure and walks every condensation path with a recursive
+    CTE (terminates: the condensation is a DAG), taking max path length
+    per node."""
+    return dep_layers(module_deps(triples_table(spark)))

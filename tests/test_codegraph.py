@@ -157,3 +157,72 @@ def test_consumer_scan_prunes_pred_partitions(spark):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "pred" in pf and "calls" in pf
+
+
+# ------------------------------------------------------------ SCC / layers
+
+
+def _deps(spark, pairs):
+    return spark.createDataFrame(pairs, "src_repo string, dst_repo string")
+
+
+def test_scc_labels_mixed_graph(spark):
+    # 3-cycle {a,b,c}, 2-cycle {x,y}, acyclic feeders d->a and e->x.
+    e = _deps(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "x"),
+         ("d", "a"), ("e", "x")],
+    )
+    got = {r.node: r.scc_id for r in codegraph.scc_labels(e).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "d": "d", "e": "e",
+    }
+
+
+def test_scc_labels_nested_cycles_through_bridge(spark):
+    # two cycles joined by a one-way bridge stay SEPARATE SCCs, and the
+    # bridge node (on a cycle-to-cycle path) must not be absorbed into
+    # either — the case naive source/sink trimming gets wrong.
+    e = _deps(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "m"), ("m", "x"), ("x", "y"), ("y", "x")],
+    )
+    got = {r.node: r.scc_id for r in codegraph.scc_labels(e).collect()}
+    assert got == {"a": "a", "b": "a", "m": "m", "x": "x", "y": "x"}
+
+
+def test_import_cycles_filters_singletons(spark):
+    e = _deps(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "x"),
+         ("d", "a"), ("e", "x")],
+    )
+    rows = {
+        (r.repo, r.scc_id, r.scc_size)
+        for r in codegraph.import_cycles(e).collect()
+    }
+    assert rows == {
+        ("a", "a", 3), ("b", "a", 3), ("c", "a", 3),
+        ("x", "x", 2), ("y", "x", 2),
+    }
+
+
+def test_dep_layers_longest_chain_with_contraction(spark):
+    # d -> {a<->b} -> c plus disjoint p -> q.  The a/b cycle contracts to
+    # one unit; layer = LONGEST dependency chain (c:0, {a,b}:1, d:2).
+    e = _deps(
+        spark,
+        [("d", "a"), ("a", "b"), ("b", "a"), ("b", "c"), ("p", "q")],
+    )
+    got = {r.repo: (r.scc_id, r.layer) for r in codegraph.dep_layers(e).collect()}
+    assert got == {
+        "c": ("c", 0), "a": ("a", 1), "b": ("a", 1), "d": ("d", 2),
+        "q": ("q", 0), "p": ("p", 1),
+    }
+
+
+def test_dep_layers_diamond_takes_max_not_min(spark):
+    # diamond: r -> s -> t, r -> t.  Longest chain wins: layer(r) = 2.
+    e = _deps(spark, [("r", "s"), ("s", "t"), ("r", "t")])
+    got = {r.repo: r.layer for r in codegraph.dep_layers(e).collect()}
+    assert got == {"t": 0, "s": 1, "r": 2}

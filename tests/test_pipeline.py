@@ -45,7 +45,13 @@ def test_content_sha_invariant(pipe, spark, small_files):
 def test_metrics_lineage(pipe):
     out, _ = pipe
     m = out["metrics"].toPandas()
-    assert set(m["stage"]) == {"mentions", "triples"}
+    stages = set(m["stage"])
+    # per-partition lineage rows for both pipeline stages, plus any
+    # valve-audit rows the run recorded (valvemetrics.metrics_rows —
+    # stage 'valve:<name>'; their own read-back contract is covered by
+    # tests/test_valvemetrics.py)
+    assert {"mentions", "triples"} <= stages
+    assert all(s.startswith("valve:") for s in stages - {"mentions", "triples"})
     assert bool(m["content_sha_ok"].all())
     men = m[m["stage"] == "mentions"]
     assert int(men["rows_in"].sum()) == 300
