@@ -430,27 +430,31 @@ def scc_labels(edges: DataFrame, src: str = "src_repo", dst: str = "dst_repo") -
     settled: DataFrame | None = None
 
     def _min_reach(remaining: DataFrame, ed: DataFrame, forward: bool) -> DataFrame:
+        # DELTA propagation (the bfs_levels_frontier shape): only labels
+        # that IMPROVED last step are re-pushed along edges, so per-step
+        # join cost tracks the shrinking frontier, not V — after the
+        # first full-width step the frontier decays geometrically on
+        # power-law graphs.  Min-labels only ever decrease, so a node
+        # whose label did not change cannot improve any neighbor it
+        # already pushed to.
         a, b = ("src", "dst") if forward else ("dst", "src")
         lab = remaining.select("node", F.col("node").alias("lab")).localCheckpoint()
+        frontier = lab
         while True:
-            cand = (
-                ed.join(lab.withColumnRenamed("node", a), a)
-                .select(F.col(b).alias("node"), "lab")
+            upd = (
+                ed.join(frontier.withColumnRenamed("node", a), a)
+                .groupBy(F.col(b).alias("node"))
+                .agg(F.min("lab").alias("cand"))
             )
-            new = (
-                lab.unionByName(cand)
-                .groupBy("node")
-                .agg(F.min("lab").alias("lab"))
-                .localCheckpoint()
+            # one localCheckpoint per step truncates the whole round's
+            # lineage; frontier/lab are narrow projections of it
+            joined = lab.join(upd, "node", "left").localCheckpoint()
+            frontier = joined.where(F.col("cand") < F.col("lab")).select(
+                "node", F.col("cand").alias("lab")
             )
-            # bounded driver probe: one count per step (graph.py pattern)
-            changed = (
-                new.join(lab.withColumnRenamed("lab", "old"), "node")
-                .where(F.col("lab") != F.col("old"))
-                .count()
-            )
-            lab = new
-            if changed == 0:
+            lab = joined.select("node", F.least("lab", "cand").alias("lab"))
+            # bounded driver probe: one isEmpty per step (graph.py pattern)
+            if frontier.isEmpty():
                 return lab
 
     remaining = nodes
