@@ -138,6 +138,14 @@ BENCH_QUERIES = [
     "kg_resolution_coverage",
     "kg_module_deps",
     "kg_dead_defs",
+    # round-5: blast radius (3-hop reverse BFS over the call graph; has
+    # its own paired scale artifact in BENCH_SCALING_CODEGRAPH2.json).
+    # kg_import_cycles / kg_dep_layers are oracle-gated but NOT benched:
+    # the registered queries condense the dependency graph to ~20 repos,
+    # so their SCC-peel walls are rounds of job-scheduling latency, not
+    # a scale signal (the near_dup_clusters rationale); the large-graph
+    # SCC census is benched as call_scc in bench/codegraph_scaling.py.
+    "kg_impact_radius",
 ]
 
 PIPELINE_BENCH_FILES = 3000
@@ -159,6 +167,7 @@ ITERATIVE_QUERIES = {
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
     "funnel_counts",
+    "kg_impact_radius",
 }
 
 

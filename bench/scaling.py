@@ -83,16 +83,41 @@ def worker(cpus: int, input_dir: str, run_root: str) -> None:
 
     shutil.rmtree(warm_root, ignore_errors=True)
 
-    t0 = time.time()
-    out = run_pipeline(spark, files, run_root)
-    n_triples = out["triples"].count()
-    secs = time.time() - t0
+    # KGFORGE_SCALE_LEG_REPS=N (default 1): time N FULL pipeline runs
+    # into fresh run roots inside this live JVM and report the min — the
+    # graph harness's round-4 warm min-of-N methodology.  This host's
+    # vCPU-steal windows inflate a single leg by up to 6x (batch-2 of the
+    # round-5 series recorded a 510 s local[8] leg against a
+    # thrice-reproduced 84.4 s floor); the min within a leg filters any
+    # steal window shorter than one full run, while a window spanning the
+    # whole pair still hits both levels and cancels in the ratio.
+    # Identical at both parallelism levels, so it cannot bias the gate.
+    leg_reps = max(1, int(os.environ.get("KGFORGE_SCALE_LEG_REPS", "1")))
+    walls: list = []
+    best = None
+    for rep in range(leg_reps):
+        root_r = run_root if rep == 0 else tempfile.mkdtemp(
+            prefix=os.path.basename(run_root) + f"_rep{rep}_",
+            dir=os.path.dirname(run_root),
+        )
+        t0 = time.time()
+        out = run_pipeline(spark, files, root_r)
+        n_triples = out["triples"].count()
+        wall = round(time.time() - t0, 3)
+        walls.append(wall)
+        if best is None or wall <= min(walls):
+            best = (wall, n_triples, out.get("stage_secs"), out)
+        if rep > 0:
+            shutil.rmtree(root_r, ignore_errors=True)
+
+    secs, n_triples, stage_secs, out = best
 
     result = {
         "cpus": cpus,
-        "secs": round(secs, 3),
+        "secs": secs,
+        "walls": walls,
         "n_triples": n_triples,
-        "stage_secs": out.get("stage_secs"),
+        "stage_secs": stage_secs,
     }
 
     # Consumer-side graph analytics AT SCALE (round-2 judge item #3): a
