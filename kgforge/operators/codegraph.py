@@ -393,89 +393,245 @@ def scc_labels(edges: DataFrame, src: str = "src_repo", dst: str = "dst_repo") -
     "coloring" FW-BW decomposition from the Pregel/distributed-SCC
     literature), DataFrame-only:
 
-    per outer round, propagate the min node id along edges to fixpoint
-    FORWARD (fmin(v) = min id over ancestors-or-self) and BACKWARD
-    (bmin(v) = min id over descendants-or-self).  A node with
-    fmin == bmin == m has m as both ancestor-or-self and
-    descendant-or-self, i.e. v is in SCC(m); because every member of an
-    SCC shares the same ancestor and descendant sets, whole SCCs settle
-    together, and the settled label IS the SCC minimum.  Settled nodes
-    (and their edges) are removed — a path between remaining nodes can
-    never route through a settled SCC without putting that SCC on the
-    cycle, so removal preserves the remaining SCC structure — and the
-    round repeats.  The SCC of the globally minimal remaining node
+    per outer round, propagate a minimum label along edges to fixpoint
+    FORWARD (fmin(v) = min over ancestors-or-self) and BACKWARD
+    (bmin(v) = min over descendants-or-self).  A node with fmin == bmin
+    == m has m as both ancestor-or-self and descendant-or-self, i.e. v
+    is in SCC(m); because every member of an SCC shares the same
+    ancestor and descendant sets, whole SCCs settle together.  Settled
+    nodes (and their edges) are removed — a path between remaining nodes
+    can never route through a settled SCC without putting that SCC on
+    the cycle, so removal preserves the remaining SCC structure — and
+    the round repeats.  The SCC of the hash-order-minimal remaining node
     settles every round, so the outer loop always progresses.
 
-    Scale shape: each inner propagation step is one E-row equi-join +
-    V-row min-agg (map-side partial agg; fixed-point detected by a
-    bounded count() probe, the pagerank/kcore driver-action pattern);
-    inner steps are bounded by the remaining graph's diameter, outer
-    rounds by the condensation's depth (power-law dependency graphs
-    settle in a handful).  localCheckpoint per step truncates the
-    iterative lineage exactly like graph.py's CC/pagerank rounds.  Label
-    ids are the node strings themselves, so the oracle reproduces
-    min-labels with no engine-specific hashing."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
+    Scale shape (measured on the 7.3M-edge / 150k-node synthetic call
+    graph, BENCH_SCALING_CODEGRAPH_SCC.json):
+    - FIXED-WIDTH rows through every exchange: nodes are packed to
+      128-bit two-seed xxhash64 keys up front (same collision math as
+      ``_h2`` — ~1.5e-15 even at a 10^12-node vocabulary) so each
+      propagation step joins 4-long edge rows against 2-long+2-long
+      frontier rows instead of shuffling the node strings; the strings
+      re-attach ONCE at the end, where the final per-SCC min over the
+      node string restores the lexicographic scc_id the oracle expects
+      (the internal propagation order is the arbitrary-but-total hash
+      order, which is all the peel needs).
+    - FUSED directions + delta frontiers: one step advances fmin and
+      bmin together — two frontier-sized edge joins, one V-row
+      three-way left join, ONE localCheckpoint and ONE count aggregate
+      (the bounded driver probe) — instead of two separate
+      loops with their own checkpoints and emptiness probes.  Only
+      labels that improved last step are re-pushed (min-labels only
+      ever decrease, so an unchanged node cannot improve a neighbor it
+      already reached), so per-step join cost tracks the geometrically
+      decaying frontier, not V.
+    - Inner steps are bounded by the remaining graph's diameter, outer
+      rounds by the condensation depth; localCheckpoint per step
+      truncates lineage exactly like graph.py's CC/pagerank rounds."""
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
         .distinct()
-        .localCheckpoint()
     )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("s").alias("node"))
+        .unionByName(e0.select(F.col("d").alias("node")))
         .distinct()
+    )
+    dictn = nodes.select("node", *_h2("node", "k")).localCheckpoint()
+    e = (
+        e0.join(
+            dictn.select(F.col("node").alias("s"), F.col("k1").alias("s1"), F.col("k2").alias("s2")),
+            "s",
+        )
+        .join(
+            dictn.select(F.col("node").alias("d"), F.col("k1").alias("d1"), F.col("k2").alias("d2")),
+            "d",
+        )
+        .select("s1", "s2", "d1", "d2")
         .localCheckpoint()
     )
+    lab = dictn.select(
+        "k1",
+        "k2",
+        F.col("k1").alias("f1"),
+        F.col("k2").alias("f2"),
+        F.col("k1").alias("b1"),
+        F.col("k2").alias("b2"),
+    ).localCheckpoint()
+
+    import time as _time
+
+    _log = os.environ.get("KGFORGE_SCC_LOG")
+    # Scoped AQE override: the packed label/edge tables are a few hundred
+    # MB, so AQE's 64MB advisory size coalesces every per-step shuffle to
+    # 2-4 partitions — at local[2] that saturates the machine, at
+    # local[8] it idles half the cores, and the measured 2->8 scaling
+    # collapsed to ~0.59 from this alone (per-step stage profiles show
+    # (0+2)/4-task stages at both levels).  Keeping the configured
+    # shuffle-partition count through the iterative section restores
+    # core-proportional parallelism; the override is restored in the
+    # finally block so bulk queries keep AQE coalescing.  On a real
+    # cluster with TB-scale graphs the advisory size yields plenty of
+    # partitions and this knob is a no-op safety.
+    # Shuffle width is set core-proportionally (2x the executor slots)
+    # for the same reason: the engine-wide 32 costs the 2-core leg ~16%
+    # in task overhead on these small V-row stages, while 2x slots keeps
+    # every core busy at any level — the setting a cluster deployment
+    # derives from its executor count.
+    _spark = edges.sparkSession
+    _coal_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _shuf_key = "spark.sql.shuffle.partitions"
+    try:
+        _coal_prev = _spark.conf.get(_coal_key)
+        _shuf_prev = _spark.conf.get(_shuf_key)
+    except Exception:  # pragma: no cover
+        _coal_prev, _shuf_prev = "true", "32"
+    _spark.conf.set(_coal_key, "false")
+    _spark.conf.set(_shuf_key, str(max(4, 2 * _spark.sparkContext.defaultParallelism)))
+    try:
+        return _scc_labels_peel(e, dictn, lab, _log, _time)
+    finally:
+        _spark.conf.set(_coal_key, _coal_prev)
+        _spark.conf.set(_shuf_key, _shuf_prev)
+
+
+def _scc_labels_peel(e, dictn, lab, _log, _time) -> DataFrame:
+    """The iterative section of scc_labels (split out so the AQE override
+    wraps exactly the peel; see scc_labels docstring for the algorithm)."""
+
+    def _pair_lt(a1, a2, c1, c2):
+        # lexicographic (a1, a2) < (c1, c2) with an explicit null guard:
+        # Spark's struct ordering ranks NULL fields SMALLEST, so a
+        # no-candidate row (left-join nulls) would otherwise compare as
+        # an improvement and wipe the label
+        return F.col(a1).isNotNull() & (
+            F.struct(F.col(a1), F.col(a2)) < F.struct(F.col(c1), F.col(c2))
+        )
+
+    def _advance(lab, ffr, bfr):
+        """One lazy fused F/B propagation step: returns the new label
+        table with fch/bch change flags, NOT materialized."""
+        fupd = (
+            e.join(
+                ffr.select(F.col("k1").alias("s1"), F.col("k2").alias("s2"), "l1", "l2"),
+                ["s1", "s2"],
+            )
+            .groupBy(F.col("d1").alias("k1"), F.col("d2").alias("k2"))
+            .agg(F.min(F.struct("l1", "l2")).alias("fm"))
+            .select("k1", "k2", F.col("fm.l1").alias("fc1"), F.col("fm.l2").alias("fc2"))
+        )
+        bupd = (
+            e.join(
+                bfr.select(F.col("k1").alias("d1"), F.col("k2").alias("d2"), "l1", "l2"),
+                ["d1", "d2"],
+            )
+            .groupBy(F.col("s1").alias("k1"), F.col("s2").alias("k2"))
+            .agg(F.min(F.struct("l1", "l2")).alias("bm"))
+            .select("k1", "k2", F.col("bm.l1").alias("bc1"), F.col("bm.l2").alias("bc2"))
+        )
+        return (
+            lab.join(fupd, ["k1", "k2"], "left")
+            .join(bupd, ["k1", "k2"], "left")
+            .select(
+                "k1",
+                "k2",
+                _pair_lt("fc1", "fc2", "f1", "f2").alias("fch"),
+                _pair_lt("bc1", "bc2", "b1", "b2").alias("bch"),
+                "f1", "f2", "b1", "b2", "fc1", "fc2", "bc1", "bc2",
+            )
+            .select(
+                "k1",
+                "k2",
+                F.when(F.col("fch"), F.col("fc1")).otherwise(F.col("f1")).alias("f1"),
+                F.when(F.col("fch"), F.col("fc2")).otherwise(F.col("f2")).alias("f2"),
+                F.when(F.col("bch"), F.col("bc1")).otherwise(F.col("b1")).alias("b1"),
+                F.when(F.col("bch"), F.col("bc2")).otherwise(F.col("b2")).alias("b2"),
+                "fch",
+                "bch",
+            )
+        )
+
+    def _frontiers(step):
+        ffr = step.where("fch").select(
+            "k1", "k2", F.col("f1").alias("l1"), F.col("f2").alias("l2")
+        )
+        bfr = step.where("bch").select(
+            "k1", "k2", F.col("b1").alias("l1"), F.col("b2").alias("l2")
+        )
+        return ffr, bfr
+
+    # UNROLL propagation steps share one localCheckpoint + one
+    # convergence probe: the driver-side cost per checkpointed segment
+    # (job submit, analysis, codegen, the V-row materialization, the
+    # count action) is a per-segment constant, so unrolling halves the
+    # peel's serial term.  Within a segment the intermediate label table
+    # feeds three consumers (next step's lab + both frontiers); Spark's
+    # exchange reuse deduplicates the shared sub-plan inside the single
+    # job.  Termination stays exact: min-propagation is monotone, so a
+    # final sub-step with zero changes proves global fixpoint (earlier
+    # sub-steps in the segment may have changed rows — the probe only
+    # needs the LAST sub-step's flags).
+    UNROLL = max(1, int(os.environ.get("KGFORGE_SCC_UNROLL", "2")))
     settled: DataFrame | None = None
-
-    def _min_reach(remaining: DataFrame, ed: DataFrame, forward: bool) -> DataFrame:
-        # DELTA propagation (the bfs_levels_frontier shape): only labels
-        # that IMPROVED last step are re-pushed along edges, so per-step
-        # join cost tracks the shrinking frontier, not V — after the
-        # first full-width step the frontier decays geometrically on
-        # power-law graphs.  Min-labels only ever decrease, so a node
-        # whose label did not change cannot improve any neighbor it
-        # already pushed to.
-        a, b = ("src", "dst") if forward else ("dst", "src")
-        lab = remaining.select("node", F.col("node").alias("lab")).localCheckpoint()
-        frontier = lab
-        while True:
-            upd = (
-                ed.join(frontier.withColumnRenamed("node", a), a)
-                .groupBy(F.col(b).alias("node"))
-                .agg(F.min("lab").alias("cand"))
-            )
-            # one localCheckpoint per step truncates the whole round's
-            # lineage; frontier/lab are narrow projections of it
-            joined = lab.join(upd, "node", "left").localCheckpoint()
-            frontier = joined.where(F.col("cand") < F.col("lab")).select(
-                "node", F.col("cand").alias("lab")
-            )
-            lab = joined.select("node", F.least("lab", "cand").alias("lab"))
-            # bounded driver probe: one isEmpty per step (graph.py pattern)
-            if frontier.isEmpty():
-                return lab
-
-    remaining = nodes
+    _round = 0
     while True:
-        fmin = _min_reach(remaining, e, forward=True).withColumnRenamed("lab", "fmin")
-        bmin = _min_reach(remaining, e, forward=False).withColumnRenamed("lab", "bmin")
-        both = fmin.join(bmin, "node").localCheckpoint()
-        done = both.where(F.col("fmin") == F.col("bmin")).select(
-            "node", F.col("fmin").alias("scc_id")
-        )
+        _round += 1
+        _seg = 0
+        ffr = lab.select("k1", "k2", F.col("f1").alias("l1"), F.col("f2").alias("l2"))
+        bfr = lab.select("k1", "k2", F.col("b1").alias("l1"), F.col("b2").alias("l2"))
+        while True:
+            _seg += 1
+            _t0 = _time.time()
+            step = _advance(lab, ffr, bfr)
+            for _ in range(UNROLL - 1):
+                ffr, bfr = _frontiers(step)
+                step = _advance(step.drop("fch", "bch"), ffr, bfr)
+            step = step.localCheckpoint()
+            row = step.agg(
+                F.sum(F.when(F.col("fch"), 1).otherwise(0)).alias("nf"),
+                F.sum(F.when(F.col("bch"), 1).otherwise(0)).alias("nb"),
+            ).first()
+            nf, nb = int(row["nf"] or 0), int(row["nb"] or 0)
+            if _log:  # bench diagnostics (KGFORGE_SCC_LOG=1)
+                print(
+                    f"[scc] round={_round} seg={_seg} nf={nf} nb={nb}"
+                    f" secs={_time.time() - _t0:.2f}",
+                    flush=True,
+                )
+            lab = step.drop("fch", "bch")
+            ffr, bfr = _frontiers(step)
+            if nf == 0 and nb == 0:
+                break
+        done = lab.where(
+            (F.col("f1") == F.col("b1")) & (F.col("f2") == F.col("b2"))
+        ).select("k1", "k2", F.col("f1").alias("c1"), F.col("f2").alias("c2"))
         settled = done if settled is None else settled.unionByName(done)
-        remaining = (
-            both.where(F.col("fmin") != F.col("bmin")).select("node").localCheckpoint()
+        rem = lab.where(
+            (F.col("f1") != F.col("b1")) | (F.col("f2") != F.col("b2"))
+        ).localCheckpoint()
+        if rem.isEmpty():
+            break
+        # reset remaining labels to self and drop settled nodes' edges
+        lab = rem.select(
+            "k1",
+            "k2",
+            F.col("k1").alias("f1"),
+            F.col("k2").alias("f2"),
+            F.col("k1").alias("b1"),
+            F.col("k2").alias("b2"),
         )
-        if remaining.isEmpty():
-            return settled.localCheckpoint()
+        keys = rem.select("k1", "k2")
         e = (
-            e.join(remaining.withColumnRenamed("node", "src"), "src", "semi")
-            .join(remaining.withColumnRenamed("node", "dst"), "dst", "semi")
+            e.join(keys.select(F.col("k1").alias("s1"), F.col("k2").alias("s2")), ["s1", "s2"], "semi")
+            .join(keys.select(F.col("k1").alias("d1"), F.col("k2").alias("d2")), ["d1", "d2"], "semi")
             .localCheckpoint()
         )
+    # re-attach strings once: member nodes by packed key, then the final
+    # per-SCC min over the node STRING restores the lexicographic scc_id
+    members = settled.join(dictn, ["k1", "k2"]).select("node", "c1", "c2")
+    sccmin = members.groupBy("c1", "c2").agg(F.min("node").alias("scc_id"))
+    return members.join(sccmin, ["c1", "c2"]).select("node", "scc_id").localCheckpoint()
 
 
 def import_cycles(deps: DataFrame) -> DataFrame:
